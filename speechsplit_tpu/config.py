@@ -1,0 +1,166 @@
+"""Typed configuration for speechsplit_tpu.
+
+Replaces the reference's module-global TF-1.x ``HParams`` object
+(reference: hparams.py:7-43, tfcompat/hparam.py) with a frozen dataclass.
+Field names intentionally match the reference's keys so that configs and
+papers can be cross-read; a ``parse("k=v,...")`` override shim keeps CLI
+parity with ``HParams.parse`` (reference: tfcompat/hparam.py:523-544).
+
+Cleanups vs the reference (documented, deliberate):
+- the ``samplier`` typo (hparams.py:41) becomes ``n_repeats`` (an alias is
+  accepted by :meth:`SpeechSplitConfig.parse` for compatibility);
+- dead keys ``dim_dec`` / ``len_raw`` (hparams.py:23-24) are dropped;
+- new TPU-specific knobs live in their own section (dtype policy, mesh).
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+@dataclass(frozen=True)
+class SpeechSplitConfig:
+    # --- model bottlenecks (reference: hparams.py:9-18) -------------------
+    # content (sync) encoder
+    freq: int = 8          # content code downsample stride
+    dim_neck: int = 8      # content bottleneck width (per direction)
+    dim_enc: int = 512     # content conv-stack channels
+    # rhythm encoder
+    freq_2: int = 8
+    dim_neck_2: int = 1
+    dim_enc_2: int = 128
+    # pitch (F0) encoder
+    freq_3: int = 8
+    dim_neck_3: int = 32
+    dim_enc_3: int = 256
+
+    # --- feature geometry (reference: hparams.py:20-25) -------------------
+    dim_freq: int = 80        # mel bins
+    dim_spk_emb: int = 82     # speaker one-hot / embedding size
+    dim_f0: int = 257         # quantized log-F0 bins (256 + unvoiced)
+    chs_grp: int = 16         # channels per GroupNorm group
+
+    # --- random-resampling augmentation (reference: hparams.py:27-32) -----
+    min_len_seg: int = 19
+    max_len_seg: int = 32
+    min_len_seq: int = 64
+    max_len_seq: int = 128
+    max_len_pad: int = 192
+
+    # --- decoder widths (reference: model.py:244-247, 268-271) ------------
+    dim_dec_mel: int = 512    # mel decoder LSTM hidden per direction
+    dim_dec_f0: int = 256     # F0 decoder LSTM hidden per direction
+
+    # --- audio front-end (reference: make_spect_f0.py:15-17, utils.py:18) -
+    sample_rate: int = 16000
+    fft_length: int = 1024
+    hop_length: int = 256
+    mel_fmin: float = 90.0
+    mel_fmax: float = 7600.0
+    highpass_cutoff_hz: float = 30.0
+    highpass_order: int = 5
+    ref_level_db: float = 16.0
+    min_level_db: float = -100.0
+
+    # --- data pipeline (reference: hparams.py:34-42) ----------------------
+    root_dir: str = "assets/spmel"
+    feat_dir: str = "assets/raptf0"
+    wav_dir: str = "assets/wavs"
+    batch_size: int = 16
+    mode: str = "train"
+    shuffle: bool = True
+    n_repeats: int = 8        # reference: `samplier` (sic), hparams.py:41
+
+    # --- training (reference: main.py:41-44) -------------------------------
+    learning_rate: float = 1e-4
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+    # --- TPU-native knobs (no reference counterpart) -----------------------
+    compute_dtype: str = "float32"   # "float32" | "bfloat16" matmul inputs
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+    # ------------------------------------------------------------------ api
+    @property
+    def max_num_seg(self) -> int:
+        """Static upper bound on resampling segments per sequence.
+
+        Reference: model.py:365 (``max_len_seq // min_len_seg + 1``).
+        """
+        return self.max_len_seq // self.min_len_seg + 1
+
+    @property
+    def dim_code(self) -> int:
+        """Concatenated decoder-input width (reference: model.py:244)."""
+        return (
+            2 * self.dim_neck
+            + 2 * self.dim_neck_2
+            + 2 * self.dim_neck_3
+            + self.dim_spk_emb
+        )
+
+    _ALIASES = {
+        "samplier": "n_repeats",       # reference typo, hparams.py:41
+        "num_workers": None,           # meaningless here; accepted+ignored
+        "dim_dec": "dim_dec_mel",      # reference dead key, hparams.py:23
+        "len_raw": None,               # reference dead key, hparams.py:24
+    }
+
+    def parse(self, spec: str) -> "SpeechSplitConfig":
+        """Apply ``"key=value,key=value"`` overrides, HParams.parse-style.
+
+        Values are parsed as Python literals when possible, else kept as
+        strings. Unknown keys raise ``ValueError``; reference-era aliases
+        are translated (see ``_ALIASES``).
+        """
+        if not spec:
+            return self
+        updates: dict[str, Any] = {}
+        for item in spec.split(","):
+            if not item.strip():
+                continue
+            if "=" not in item:
+                raise ValueError(f"malformed override {item!r}; expected k=v")
+            key, value = item.split("=", 1)
+            key = key.strip()
+            if key in self._ALIASES:
+                key = self._ALIASES[key]
+                if key is None:
+                    continue
+            if key not in {f.name for f in dataclasses.fields(self)}:
+                raise ValueError(f"unknown config key {key!r}")
+            try:
+                updates[key] = ast.literal_eval(value.strip())
+            except (ValueError, SyntaxError):
+                updates[key] = value.strip()
+        return dataclasses.replace(self, **updates)
+
+    def replace(self, **kwargs: Any) -> "SpeechSplitConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "SpeechSplitConfig":
+        raw = json.loads(text)
+        raw["mesh_shape"] = tuple(raw.get("mesh_shape", (1,)))
+        raw["mesh_axes"] = tuple(raw.get("mesh_axes", ("data",)))
+        return cls(**raw)
+
+    def debug_string(self) -> str:
+        """Human-readable dump (reference: hparams.py:46-49)."""
+        lines = [
+            f"  {f.name}: {getattr(self, f.name)}"
+            for f in dataclasses.fields(self)
+        ]
+        return "Hyperparameters:\n" + "\n".join(lines)
+
+
+def default_config() -> SpeechSplitConfig:
+    return SpeechSplitConfig()

@@ -1,0 +1,263 @@
+"""Core neural layers, designed TPU-first.
+
+Design notes
+------------
+- Everything operates on ``[B, T, C]`` tensors (NWC). Convolutions use
+  ``lax.conv_general_dilated`` with NWC/WIO dimension numbers so XLA maps
+  them straight onto the MXU without layout churn.
+- The LSTM hoists the input projection out of the recurrence: one large
+  ``[B*T, I] @ [I, 4H]`` matmul feeds the scan, and the per-step work is a
+  single ``[B, H] @ [H, 4H]`` matmul plus VPU element-wise gates. XLA
+  pipelines this well; a fused Pallas cell is a later optimization for the
+  wide decoder (see speechsplit_tpu/ops/pallas_lstm.py when it lands).
+- Gate layout and parameter semantics deliberately mirror torch's LSTM
+  (gates ordered i, f, g, o; two bias vectors summed at apply time) so that
+  reference checkpoints (e.g. 660000-G.ckpt) can be imported losslessly for
+  parity testing. Reference layers surveyed: LinearNorm model.py:10-20,
+  ConvNorm model.py:24-42, the five nn.LSTM stacks model.py:71,119,174,189,
+  244,268, GroupNorm usage model.py:67,115,170,185.
+- ``param_dtype`` is float32 always; ``dtype`` controls matmul input
+  precision (bfloat16 on TPU keeps the MXU in its fast path while the
+  carried state and accumulations stay float32).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+Dtype = Any
+
+GAIN = {"linear": 1.0, "relu": math.sqrt(2.0), "tanh": 5.0 / 3.0}
+
+
+def xavier_uniform_gain(gain: float, fan_in_axes: Sequence[int],
+                        fan_out_axes: Sequence[int]):
+    """Xavier-uniform init with an explicit gain (torch semantics)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = math.prod(shape[a] for a in fan_in_axes)
+        fan_out = math.prod(shape[a] for a in fan_out_axes)
+        bound = gain * math.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def uniform_fan(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Linear(nn.Module):
+    """Dense layer with gain-scaled Xavier init (ref: model.py:10-20)."""
+
+    features: int
+    use_bias: bool = True
+    w_init_gain: str = "linear"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        in_features = x.shape[-1]
+        # stored [in, out]; torch stores [out, in] — transposed on import
+        kernel = self.param(
+            "kernel",
+            xavier_uniform_gain(GAIN[self.w_init_gain], (0,), (1,)),
+            (in_features, self.features),
+        )
+        y = jnp.dot(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", uniform_fan(1.0 / math.sqrt(in_features)),
+                (self.features,),
+            )
+            y = y + bias
+        return y
+
+
+class Conv1d(nn.Module):
+    """'Same'-padded 1-D convolution over [B, T, C] (ref: model.py:24-42).
+
+    Padding is derived from kernel/dilation exactly as the reference's
+    ConvNorm does (model.py:28-30).
+    """
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    w_init_gain: str = "linear"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        assert self.kernel_size % 2 == 1, "even kernels need explicit pad"
+        in_ch = x.shape[-1]
+        # stored [K, Cin, Cout]; torch stores [Cout, Cin, K]
+        kernel = self.param(
+            "kernel",
+            xavier_uniform_gain(GAIN[self.w_init_gain], (0, 1), (0, 2)),
+            (self.kernel_size, in_ch, self.features),
+        )
+        pad = self.dilation * (self.kernel_size - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.stride,),
+            padding=[(pad, pad)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                uniform_fan(1.0 / math.sqrt(in_ch * self.kernel_size)),
+                (self.features,),
+            )
+            y = y + bias
+        return y
+
+
+class GroupNorm(nn.Module):
+    """Group normalization over the channel axis of [B, T, C].
+
+    Statistics are computed per (batch, group) across time and the group's
+    channels — torch nn.GroupNorm semantics (ref usage: model.py:67,115,
+    170,185). Always computed in float32.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, t, c = x.shape
+        assert c % self.num_groups == 0
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xg = x.astype(jnp.float32).reshape(b, t, self.num_groups, -1)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return xg.reshape(b, t, c) * scale + bias
+
+
+def _lstm_direction(
+    x_proj: Array, w_hh: Array, reverse: bool, dtype: Dtype
+) -> Array:
+    """Run one LSTM direction over pre-projected inputs.
+
+    x_proj: [B, T, 4H] = x @ W_ih^T + (b_ih + b_hh), gates ordered i,f,g,o.
+    w_hh:   [H, 4H].
+    Returns hidden states [B, T, H].
+    """
+    batch, _, four_h = x_proj.shape
+    hidden = four_h // 4
+    if reverse:
+        x_proj = jnp.flip(x_proj, axis=1)
+    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H] time-major for scan
+
+    w_hh_c = w_hh.astype(dtype)
+
+    def cell(carry, xt):
+        h, c = carry
+        gates = xt + jnp.dot(
+            h.astype(dtype), w_hh_c, preferred_element_type=jnp.float32
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (
+        jnp.zeros((batch, hidden), jnp.float32),
+        jnp.zeros((batch, hidden), jnp.float32),
+    )
+    _, hs = jax.lax.scan(cell, init, xs)
+    hs = jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+    if reverse:
+        hs = jnp.flip(hs, axis=1)
+    return hs
+
+
+class LSTM(nn.Module):
+    """Multi-layer (bi)directional LSTM with torch-compatible parameters.
+
+    Parameters per layer/direction: ``w_ih`` [I, 4H] (transposed vs torch),
+    ``w_hh`` [H, 4H], ``b_ih`` and ``b_hh`` [4H]. Initialization follows
+    torch's U(-1/sqrt(H), 1/sqrt(H)). Returns the full output sequence
+    [B, T, D*H] with forward/backward halves concatenated per layer, which
+    is exactly what all five reference LSTM stacks consume
+    (ref: model.py:71,119,174,189,244,268).
+    """
+
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = self.hidden_size
+        k = 1.0 / math.sqrt(h)
+        for layer in range(self.num_layers):
+            outs = []
+            directions = (False, True) if self.bidirectional else (False,)
+            for reverse in directions:
+                sfx = f"l{layer}" + ("_reverse" if reverse else "")
+                in_features = x.shape[-1]
+                w_ih = self.param(
+                    f"w_ih_{sfx}", uniform_fan(k), (in_features, 4 * h)
+                )
+                w_hh = self.param(f"w_hh_{sfx}", uniform_fan(k), (h, 4 * h))
+                b_ih = self.param(f"b_ih_{sfx}", uniform_fan(k), (4 * h,))
+                b_hh = self.param(f"b_hh_{sfx}", uniform_fan(k), (4 * h,))
+                x_proj = (
+                    jnp.dot(
+                        x.astype(self.dtype),
+                        w_ih.astype(self.dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                    + b_ih
+                    + b_hh
+                )
+                outs.append(
+                    _lstm_direction(x_proj, w_hh, reverse, self.dtype)
+                )
+            x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+        return x
+
+
+def downsample_codes(outputs: Array, dim_neck: int, freq: int) -> Array:
+    """Stride-``freq`` bottleneck sampling of BiLSTM outputs.
+
+    Forward states are taken at t ≡ freq-1 (mod freq), backward states at
+    t ≡ 0 (mod freq), then concatenated (ref: model.py:87,137-138,223-227).
+    outputs: [B, T, 2*dim_neck] -> codes [B, T//freq, 2*dim_neck].
+    """
+    fwd = outputs[:, freq - 1 :: freq, :dim_neck]
+    bwd = outputs[:, ::freq, dim_neck:]
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+def upsample_codes(codes: Array, freq: int) -> Array:
+    """Repeat-interleave codes back to frame rate (ref: model.py:301-306)."""
+    return jnp.repeat(codes, freq, axis=1)

@@ -1,0 +1,154 @@
+"""Shape-static random resampling (the triple-bottleneck's key trick).
+
+The reference's ``InterpLnr`` (model.py:355-436) splits each sequence into
+random segments of length U{19..31}, linearly resamples every segment by an
+independent factor U(0.5, 1.5), concatenates the surviving frames and
+re-pads to ``max_len_pad`` — destroying rhythm information on the paths it
+is applied to, which is what forces the bottlenecks to specialize.
+
+The reference implementation is ragged: it materializes variable-length
+sequences with a data-dependent ``torch.split`` and re-pads. That shape
+dynamism is hostile to XLA, so this implementation is a from-scratch,
+fully shape-static redesign built on one observation:
+
+    within a segment, the valid-output mask is a *prefix* of the index
+    range (floor(idx/scale) is non-decreasing in idx and both validity
+    thresholds are per-segment constants), so the output rank of a valid
+    element is its index, and the global output position is just
+    ``exclusive_cumsum(counts)[segment] + idx``.
+
+That turns the whole op into: two small PRNG draws, one gather (source
+frames), one fused multiply-add (linear interpolation), and one scatter to
+static positions with an out-of-range "trash row" absorbing masked lanes.
+No data-dependent shapes anywhere; everything fuses under jit.
+
+Distribution equivalence with the reference (same segment-length and scale
+laws, same masking and truncation semantics) is covered by
+tests/test_interp.py, which injects identical random draws into both this
+op and a torch oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def random_resample(
+    x: Array,
+    len_seq: Array,
+    key: jax.Array,
+    *,
+    min_len_seg: int = 19,
+    max_len_seg: int = 32,
+    max_len_seq: int = 128,
+    max_len_pad: int = 192,
+    train: bool = True,
+) -> Array:
+    """Randomly time-resample each sequence in a batch, shape-statically.
+
+    Args:
+      x: ``[B, T, C]`` padded sequences; ``T`` must equal ``max_len_pad``
+        in the reference configuration but any static T >= 2 works.
+      len_seq: ``[B]`` true sequence lengths (int).
+      key: PRNG key consumed only in train mode.
+      train: in eval mode this is the identity (ref: model.py:382-383).
+
+    Returns:
+      ``[B, max_len_pad, C]`` resampled, zero-padded sequences.
+    """
+    if not train:
+        return x
+
+    batch, t_in, _ = x.shape
+    num_seg = max_len_seq // min_len_seg + 1  # ref: model.py:365
+    seg_span = max_len_seg * 2  # output indices per segment, ref:389
+
+    k_scale, k_len = jax.random.split(key)
+    # per-segment resampling factor U(0.5, 1.5)   (ref: model.py:392-393)
+    scales = jax.random.uniform(k_scale, (batch, num_seg)) + 0.5
+    # per-segment length U{min_len_seg .. max_len_seg-1} (ref: 399-402)
+    len_seg = jax.random.randint(
+        k_len, (batch, num_seg), min_len_seg, max_len_seg
+    )
+
+    return resample_fixed(
+        x, len_seq, scales, len_seg, max_len_pad=max_len_pad,
+        seg_span=seg_span,
+    )
+
+
+def resample_fixed(
+    x: Array,
+    len_seq: Array,
+    scales: Array,
+    len_seg: Array,
+    *,
+    max_len_pad: int,
+    seg_span: Optional[int] = None,
+) -> Array:
+    """Deterministic core of :func:`random_resample`.
+
+    Split out so tests can drive it with externally fixed draws and match
+    the torch oracle exactly (see module docstring).
+
+    Args:
+      x: ``[B, T, C]``.
+      len_seq: ``[B]``.
+      scales: ``[B, S]`` per-segment resampling factors.
+      len_seg: ``[B, S]`` per-segment source lengths.
+      max_len_pad: static output length.
+      seg_span: static per-segment output index range (default 2*32).
+    """
+    batch, t_in, channels = x.shape
+    num_seg = scales.shape[1]
+    span = seg_span if seg_span is not None else 64
+
+    idx = jnp.arange(span)[None, None, :]  # [1, 1, L]
+    idx_scaled = idx / scales[:, :, None]  # [B, S, L]
+    idx_fl = jnp.floor(idx_scaled)
+    lam = (idx_scaled - idx_fl)[..., None]  # [B, S, L, 1]
+
+    # source-side segment offsets: exclusive cumsum of segment lengths
+    # (ref: model.py:407-411)
+    offset_in = jnp.cumsum(len_seg, axis=1) - len_seg  # [B, S]
+    src = idx_fl.astype(jnp.int32) + offset_in[:, :, None]  # [B, S, L]
+
+    # validity: inside the segment AND inside the true sequence
+    # (ref: model.py:405,413-416)
+    valid = (idx_fl < (len_seg[:, :, None] - 1)) & (
+        src < (len_seq[:, None, None] - 1)
+    )
+
+    # prefix property => per-segment count is the mask sum, and a valid
+    # element's within-segment output rank is its idx
+    counts = jnp.sum(valid, axis=2)  # [B, S]
+    offset_out = jnp.cumsum(counts, axis=1) - counts  # [B, S]
+    pos = offset_out[:, :, None] + idx  # [B, S, L]
+
+    # masked lanes and positions past the pad length go to a trash row
+    # (the reference truncates to max_len_pad in pad_sequences, ref:368-377)
+    write = valid & (pos < max_len_pad)
+    pos = jnp.where(write, pos, max_len_pad).astype(jnp.int32)
+
+    # gather the two interpolation endpoints
+    src_c = jnp.clip(src, 0, t_in - 2).reshape(batch, -1)  # [B, S*L]
+    x_fl = jnp.take_along_axis(x, src_c[:, :, None], axis=1)
+    x_cl = jnp.take_along_axis(x, (src_c + 1)[:, :, None], axis=1)
+    lam_f = lam.reshape(batch, -1, 1).astype(x.dtype)
+    y = (1.0 - lam_f) * x_fl + lam_f * x_cl  # [B, S*L, C]
+
+    # static scatter: unique positions per batch row, trash row absorbed
+    y = jnp.where(write.reshape(batch, -1, 1), y, 0.0)
+    out = jnp.zeros((batch, max_len_pad + 1, channels), x.dtype)
+    batch_ix = jnp.broadcast_to(
+        jnp.arange(batch)[:, None], (batch, num_seg * span)
+    )
+    out = out.at[batch_ix, pos.reshape(batch, -1)].set(
+        y, mode="drop", unique_indices=False
+    )
+    return out[:, :max_len_pad, :]

@@ -1,0 +1,153 @@
+"""End-to-end model parity against the reference (eval mode).
+
+Random-initialized reference models are converted via
+``speechsplit_tpu.interop`` and must reproduce the reference forward pass
+on identical inputs. Also pins the exact parameter counts from
+SURVEY.md §2.1 / BASELINE.md.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from speechsplit_tpu.config import SpeechSplitConfig  # noqa: E402
+from speechsplit_tpu.interop import torch_state_dict_to_params  # noqa: E402
+from speechsplit_tpu.models import F0Converter, SpeechSplit  # noqa: E402
+from tests.reference_oracle import load_reference  # noqa: E402
+
+CFG = SpeechSplitConfig()
+
+
+def _count(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+@pytest.fixture(scope="module")
+def reference():
+    return load_reference()
+
+
+def test_speechsplit_forward_matches_reference(reference, rng):
+    ref_model, ref_hparams = reference
+    torch.manual_seed(0)
+    ref = ref_model.Generator_3(ref_hparams).eval()
+
+    params = torch_state_dict_to_params(ref.state_dict(), "speechsplit")
+
+    batch, t_len = 2, CFG.max_len_pad
+    x_f0 = rng.randn(batch, t_len, CFG.dim_freq + CFG.dim_f0).astype(
+        np.float32
+    )
+    x_org = rng.randn(batch, t_len, CFG.dim_freq).astype(np.float32)
+    c_trg = rng.randn(batch, CFG.dim_spk_emb).astype(np.float32)
+
+    with torch.no_grad():
+        expected = ref(
+            torch.from_numpy(x_f0),
+            torch.from_numpy(x_org),
+            torch.from_numpy(c_trg),
+        ).numpy()
+
+    model = SpeechSplit(CFG)
+    got = np.asarray(
+        model.apply(
+            {"params": params},
+            jnp.asarray(x_f0),
+            jnp.asarray(x_org),
+            jnp.asarray(c_trg),
+        )
+    )
+    assert got.shape == expected.shape == (batch, t_len, CFG.dim_freq)
+    np.testing.assert_allclose(got, expected, atol=5e-5)
+
+
+def test_speechsplit_rhythm_endpoint_matches(reference, rng):
+    ref_model, ref_hparams = reference
+    torch.manual_seed(1)
+    ref = ref_model.Generator_3(ref_hparams).eval()
+    params = torch_state_dict_to_params(ref.state_dict(), "speechsplit")
+
+    x_org = rng.randn(2, CFG.max_len_pad, CFG.dim_freq).astype(np.float32)
+    with torch.no_grad():
+        expected = ref.rhythm(torch.from_numpy(x_org)).numpy()
+
+    model = SpeechSplit(CFG)
+    got = np.asarray(
+        model.apply(
+            {"params": params}, jnp.asarray(x_org), method=SpeechSplit.rhythm
+        )
+    )
+    np.testing.assert_allclose(got, expected, atol=5e-5)
+
+
+def test_f0_converter_forward_matches_reference(reference, rng):
+    ref_model, ref_hparams = reference
+    torch.manual_seed(2)
+    ref = ref_model.Generator_6(ref_hparams).eval()
+    params = torch_state_dict_to_params(ref.state_dict(), "f0_converter")
+
+    batch, t_len = 2, CFG.max_len_pad
+    x_org = rng.randn(batch, t_len, CFG.dim_freq).astype(np.float32)
+    f0_trg = rng.randn(batch, t_len, CFG.dim_f0).astype(np.float32)
+
+    with torch.no_grad():
+        expected = ref(
+            torch.from_numpy(x_org), torch.from_numpy(f0_trg)
+        ).numpy()
+
+    model = F0Converter(CFG)
+    got = np.asarray(
+        model.apply(
+            {"params": params}, jnp.asarray(x_org), jnp.asarray(f0_trg)
+        )
+    )
+    assert got.shape == expected.shape == (batch, t_len, CFG.dim_f0)
+    np.testing.assert_allclose(got, expected, atol=5e-5)
+
+
+def test_parameter_counts_match_reference():
+    """19,437,800 G params / 3,485,849 P params (SURVEY.md §2.1)."""
+    cfg = CFG
+    g_params = SpeechSplit(cfg).init(
+        {"params": jax.random.PRNGKey(0), "resample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, cfg.max_len_pad, cfg.dim_freq + cfg.dim_f0)),
+        jnp.zeros((1, cfg.max_len_pad, cfg.dim_freq)),
+        jnp.zeros((1, cfg.dim_spk_emb)),
+    )["params"]
+    assert _count(g_params) == 19_437_800
+
+    p_params = F0Converter(cfg).init(
+        {"params": jax.random.PRNGKey(0), "resample": jax.random.PRNGKey(1)},
+        jnp.zeros((1, cfg.max_len_pad, cfg.dim_freq)),
+        jnp.zeros((1, cfg.max_len_pad, cfg.dim_f0)),
+    )["params"]
+    assert _count(p_params) == 3_485_849
+
+
+def test_train_mode_runs_and_differs_from_eval(rng):
+    cfg = CFG
+    model = SpeechSplit(cfg)
+    x_f0 = jnp.asarray(
+        rng.randn(2, cfg.max_len_pad, cfg.dim_freq + cfg.dim_f0).astype(
+            np.float32
+        )
+    )
+    x_org = jnp.asarray(
+        rng.randn(2, cfg.max_len_pad, cfg.dim_freq).astype(np.float32)
+    )
+    c_trg = jnp.asarray(rng.randn(2, cfg.dim_spk_emb).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "resample": jax.random.PRNGKey(1)},
+        x_f0, x_org, c_trg,
+    )
+    out_eval = model.apply(variables, x_f0, x_org, c_trg, train=False)
+    out_train = model.apply(
+        variables, x_f0, x_org, c_trg, train=True,
+        rngs={"resample": jax.random.PRNGKey(2)},
+    )
+    assert out_eval.shape == out_train.shape
+    assert np.abs(np.asarray(out_eval) - np.asarray(out_train)).max() > 1e-4
