@@ -1,0 +1,147 @@
+"""Voice-conversion inference: the 7-condition driver as a library API.
+
+Re-designs the reference demo notebook's conversion cell (demo.ipynb
+cell-0) as jitted library functions. The seven conditions swap subsets of
+{Rhythm, F0, timbre (U)} between a source and target utterance:
+
+  condition   content-path input      rhythm input   speaker emb
+  R           src mel + src F0        TARGET mel     src
+  F           src mel + CONVERTED F0  src mel        src
+  U           src mel + src F0        src mel        TARGET
+  RF/RU/FU/RFU: the corresponding combinations
+
+'Converted F0' comes from the F0 converter: predict the 257-bin contour
+of the source mel under the target's pitch, take the argmax and re-one-hot
+(straight-through), exactly as the demo does.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechsplit_tpu.config import SpeechSplitConfig
+from speechsplit_tpu.models import F0Converter, SpeechSplit
+from speechsplit_tpu.ops.masks import pad_time_axis
+from speechsplit_tpu.ops.quantize import quantize_f0_onehot
+
+Array = jax.Array
+
+CONDITIONS = ("R", "F", "U", "RF", "RU", "FU", "RFU")
+
+
+class Utterance(NamedTuple):
+    """One prepared utterance, padded to max_len_pad."""
+
+    mel: Array       # [1, T_pad, 80]
+    f0_onehot: Array  # [1, T_pad, 257]
+    length: int
+    spk_emb: Array   # [1, 82]
+    name: str = ""
+    uid: str = ""
+
+
+def prepare_utterance(
+    config: SpeechSplitConfig,
+    mel: np.ndarray,
+    f0: np.ndarray,
+    spk_emb: np.ndarray,
+    name: str = "",
+    uid: str = "",
+) -> Utterance:
+    """Pad mel/F0 and one-hot the contour (demo.ipynb cell-0 prep)."""
+    length = len(mel)
+    mel_pad, _ = pad_time_axis(
+        np.asarray(mel, np.float32)[None], config.max_len_pad
+    )
+    f0_pad = np.pad(
+        np.asarray(f0, np.float64), (0, config.max_len_pad - length)
+    )
+    onehot = np.asarray(
+        quantize_f0_onehot(jnp.asarray(f0_pad), config.dim_f0 - 1)
+    )[None]
+    emb = np.asarray(spk_emb, np.float32).reshape(1, -1)
+    return Utterance(
+        mel=jnp.asarray(mel_pad),
+        f0_onehot=jnp.asarray(onehot),
+        length=length,
+        spk_emb=jnp.asarray(emb),
+        name=name,
+        uid=uid,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("module",))
+def _f0_convert_jit(module, params, mel_src, f0_trg_onehot):
+    logits = module.apply({"params": params}, mel_src, f0_trg_onehot)
+    ids = jnp.argmax(logits, axis=-1)  # [1, T]
+    return jax.nn.one_hot(ids, logits.shape[-1], dtype=jnp.float32)
+
+
+def convert_f0(
+    module: F0Converter, params, src: Utterance, trg: Utterance
+) -> Array:
+    """Source rhythm + target pitch -> converted one-hot contour."""
+    return _f0_convert_jit(module, params, src.mel, trg.f0_onehot)
+
+
+@functools.partial(jax.jit, static_argnames=("module",))
+def _generate_jit(module, params, x_f0, x_org, emb):
+    return module.apply({"params": params}, x_f0, x_org, emb)
+
+
+def convert(
+    g_module: SpeechSplit,
+    g_params,
+    p_module: F0Converter,
+    p_params,
+    src: Utterance,
+    trg: Utterance,
+    conditions: Sequence[str] = CONDITIONS,
+) -> List[Tuple[str, np.ndarray]]:
+    """Run the requested conversion conditions.
+
+    Returns (name, mel [T, 80]) pairs, trimmed to the target length when
+    rhythm was converted, else to the source length (demo.ipynb cell-0).
+    """
+    x_f0_org = jnp.concatenate([src.mel, src.f0_onehot], axis=-1)
+    f0_con = convert_f0(p_module, p_params, src, trg)
+    x_f0_con = jnp.concatenate([src.mel, f0_con], axis=-1)
+
+    results = []
+    for condition in conditions:
+        x_f0 = x_f0_con if "F" in condition else x_f0_org
+        x_org = trg.mel if "R" in condition else src.mel
+        emb = trg.spk_emb if "U" in condition else src.spk_emb
+        out = _generate_jit(g_module, g_params, x_f0, x_org, emb)
+        cut = trg.length if "R" in condition else src.length
+        name = f"{src.name}_{trg.name}_{src.uid}_{condition}"
+        results.append((name, np.asarray(out[0, :cut, :])))
+    return results
+
+
+def load_demo_metadata(path: str) -> list:
+    """Load a demo.pkl-style validation bundle
+    (entries: [spk_name, spk_emb(1,82), (mel, f0, len, uid)])."""
+    import pickle
+
+    with open(path, "rb") as handle:
+        return pickle.load(handle)
+
+
+def utterance_from_metadata(
+    config: SpeechSplitConfig, entry: list
+) -> Utterance:
+    mel, f0, length, uid = entry[2]
+    return prepare_utterance(
+        config,
+        np.asarray(mel)[:length],
+        np.asarray(f0)[:length],
+        np.asarray(entry[1]),
+        name=entry[0],
+        uid=uid,
+    )

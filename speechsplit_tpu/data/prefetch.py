@@ -1,0 +1,51 @@
+"""Double-buffered host->device prefetch.
+
+The reference moves four tensors to the GPU synchronously inside the hot
+loop (solver.py:147-150). Here a background thread keeps a small queue of
+batches already transferred (``jax.device_put`` is async under JAX's
+dispatch model), so the accelerator never waits on PCIe/host work.
+Sharding-aware: pass a ``jax.sharding.Sharding`` to place batches
+directly into their pjit layout (per-host shards ride ICI-free).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator, Optional
+
+import jax
+
+
+def prefetch_to_device(
+    iterator: Iterator[Any],
+    *,
+    size: int = 2,
+    sharding: Optional[jax.sharding.Sharding] = None,
+) -> Iterator[Any]:
+    """Wrap a host batch iterator with background device transfer."""
+    buf: "queue.Queue[Any]" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree.map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        return jax.tree.map(jax.device_put, batch)
+
+    def worker():
+        try:
+            for batch in iterator:
+                buf.put(put(batch))
+        finally:
+            buf.put(sentinel)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+
+    while True:
+        item = buf.get()
+        if item is sentinel:
+            return
+        yield item

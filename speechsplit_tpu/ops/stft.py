@@ -119,7 +119,11 @@ def magnitude_stft(x: Array, n_fft: int = 1024, hop: int = 256) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_fft", "hop", "n_mels", "sample_rate")
+    jax.jit,
+    static_argnames=(
+        "n_fft", "hop", "n_mels", "sample_rate", "fmin", "fmax",
+        "ref_level_db",
+    ),
 )
 def mel_spectrogram(
     x: Array,

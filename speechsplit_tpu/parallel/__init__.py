@@ -1,0 +1,9 @@
+"""Device-mesh and sharding helpers."""
+
+from speechsplit_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding"]

@@ -1,0 +1,62 @@
+"""Checkpoint save/restore with reference-compatible naming.
+
+The reference saves ``{iter}-G.ckpt`` dicts holding model + optimizer
+state every ``model_save_step`` iterations and restores both on
+``--resume_iters`` (solver.py:84-90,198-202). Here the full TrainState
+(params, optimizer state, step) goes through Orbax into
+``{model_save_dir}/{iter}-{tag}`` directories with the same cadence and
+resume semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from speechsplit_tpu.training.train_step import TrainState
+
+
+def _path(model_save_dir: str, step: int, tag: str) -> str:
+    return os.path.abspath(os.path.join(model_save_dir, f"{step}-{tag}"))
+
+
+def save_checkpoint(
+    model_save_dir: str, step: int, state: TrainState, tag: str = "G"
+) -> str:
+    path = _path(model_save_dir, step, tag)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(
+    model_save_dir: str,
+    step: int,
+    abstract_state: TrainState,
+    tag: str = "G",
+) -> TrainState:
+    path = _path(model_save_dir, step, tag)
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), abstract_state
+    )
+    return ckptr.restore(path, target)
+
+
+def latest_checkpoint_step(
+    model_save_dir: str, tag: str = "G"
+) -> Optional[int]:
+    if not os.path.isdir(model_save_dir):
+        return None
+    steps = []
+    for name in os.listdir(model_save_dir):
+        if name.endswith(f"-{tag}"):
+            try:
+                steps.append(int(name.split("-")[0]))
+            except ValueError:
+                continue
+    return max(steps) if steps else None

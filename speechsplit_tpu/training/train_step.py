@@ -1,0 +1,192 @@
+"""Jitted training steps for both models, data-parallel over a mesh.
+
+Semantics rebuilt from the reference hot loop (solver.py:134-172):
+1. concat mel and normalized F0 into ``[B, T, 81]``;
+2. random-resample that stack (the *standalone* augmentation the solver
+   applies before the model, solver.py:60,161);
+3. re-quantize the resampled F0 channel to a 257-bin one-hot
+   (solver.py:162, utils.py:62-74);
+4. forward through the generator in train mode (its encoders resample
+   again internally) and take the mean-MSE identity loss
+   (solver.py:165-166);
+5. Adam update (lr 1e-4, betas (0.9, 0.999) — main.py:42-44).
+
+The whole thing — augmentation, quantization, forward, backward,
+optimizer — is ONE compiled XLA program per step; the only host work per
+iteration is feeding the next batch.
+
+The F0-converter step is this framework's addition (the reference ships
+only a pretrained F0-converter checkpoint, never its training code;
+BASELINE config "F0_Converter training" requires one): cross-entropy of
+the predicted 257-bin contour against the quantized source contour,
+teacher-forced on the un-resampled rhythm path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from speechsplit_tpu.config import SpeechSplitConfig
+from speechsplit_tpu.data.collator import Batch
+from speechsplit_tpu.models import F0Converter, SpeechSplit
+from speechsplit_tpu.ops.interp import random_resample
+from speechsplit_tpu.ops.quantize import quantize_f0, quantize_f0_onehot
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+def make_optimizer(config: SpeechSplitConfig) -> optax.GradientTransformation:
+    return optax.adam(
+        config.learning_rate, b1=config.adam_b1, b2=config.adam_b2
+    )
+
+
+def create_train_state(
+    config: SpeechSplitConfig,
+    key: jax.Array,
+    model: str = "speechsplit",
+) -> Tuple[Any, TrainState]:
+    """Initialize (model, TrainState) for 'speechsplit' or 'f0_converter'."""
+    t = config.max_len_pad
+    if model == "speechsplit":
+        module = SpeechSplit(config)
+        variables = module.init(
+            {"params": key, "resample": jax.random.fold_in(key, 1)},
+            jnp.zeros((1, t, config.dim_freq + config.dim_f0)),
+            jnp.zeros((1, t, config.dim_freq)),
+            jnp.zeros((1, config.dim_spk_emb)),
+        )
+    elif model == "f0_converter":
+        module = F0Converter(config)
+        variables = module.init(
+            {"params": key, "resample": jax.random.fold_in(key, 1)},
+            jnp.zeros((1, t, config.dim_freq)),
+            jnp.zeros((1, t, config.dim_f0)),
+        )
+    else:
+        raise ValueError(model)
+    params = variables["params"]
+    tx = make_optimizer(config)
+    return module, TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _augment_inputs(
+    config: SpeechSplitConfig, batch: Batch, key: jax.Array
+) -> Array:
+    """Steps 1-3 of the reference hot loop (solver.py:160-163)."""
+    x_f0 = jnp.concatenate([batch.mel, batch.f0], axis=-1)  # [B,T,81]
+    x_f0 = random_resample(
+        x_f0,
+        batch.len_org,
+        key,
+        min_len_seg=config.min_len_seg,
+        max_len_seg=config.max_len_seg,
+        max_len_seq=config.max_len_seq,
+        max_len_pad=config.max_len_pad,
+    )
+    onehot = quantize_f0_onehot(x_f0[:, :, -1], config.dim_f0 - 1)
+    return jnp.concatenate([x_f0[:, :, :-1], onehot], axis=-1)
+
+
+def make_train_step(
+    config: SpeechSplitConfig,
+    module: SpeechSplit,
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Array]]:
+    """Build the jitted generator train step (optionally pjit over mesh)."""
+    tx = make_optimizer(config)
+
+    def loss_fn(params, batch: Batch, key: Array) -> Array:
+        k_aug, k_model = jax.random.split(key)
+        x_in = _augment_inputs(config, batch, k_aug)
+        mel_out = module.apply(
+            {"params": params},
+            x_in,
+            batch.mel,
+            batch.spk_emb,
+            train=True,
+            rngs={"resample": k_model},
+        )
+        return jnp.mean(jnp.square(batch.mel - mel_out))
+
+    def step(
+        state: TrainState, batch: Batch, key: Array
+    ) -> Tuple[TrainState, Array]:
+        key = jax.random.fold_in(key, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return _maybe_pjit(step, mesh)
+
+
+def make_f0_train_step(
+    config: SpeechSplitConfig,
+    module: F0Converter,
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Array]]:
+    """F0-converter training: reconstruct the quantized source contour."""
+    tx = make_optimizer(config)
+
+    def loss_fn(params, batch: Batch, key: Array) -> Array:
+        f0 = batch.f0[:, :, 0]  # [B, T] normalized, -1e10 padded
+        target_ids = quantize_f0(f0, config.dim_f0 - 1)  # [B, T]
+        f0_onehot = quantize_f0_onehot(f0, config.dim_f0 - 1)
+        logits = module.apply(
+            {"params": params},
+            batch.mel,
+            f0_onehot,
+            train=True,
+            rngs={"resample": key},
+        )
+        losses = optax.softmax_cross_entropy_with_integer_labels(
+            logits, target_ids
+        )  # [B, T]
+        # mask padding frames (everything past len_org)
+        t = losses.shape[1]
+        valid = (
+            jnp.arange(t)[None, :] < batch.len_org[:, None]
+        ).astype(losses.dtype)
+        return jnp.sum(losses * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    def step(
+        state: TrainState, batch: Batch, key: Array
+    ) -> Tuple[TrainState, Array]:
+        key = jax.random.fold_in(key, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return _maybe_pjit(step, mesh)
+
+
+def _maybe_pjit(step, mesh: Optional[Mesh]):
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, PartitionSpec())
+    data = NamedSharding(mesh, PartitionSpec("data"))
+    batch_shardings = Batch(mel=data, spk_emb=data, f0=data, len_org=data)
+    return jax.jit(
+        step,
+        in_shardings=(repl, batch_shardings, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

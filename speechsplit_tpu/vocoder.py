@@ -1,0 +1,144 @@
+"""Mel -> waveform synthesis.
+
+The reference delegates waveform synthesis to an external autoregressive
+WaveNet package (demo.ipynb cell-1, wavenet_vocoder==0.1.1 per
+README.md:32-44) and ships no vocoder of its own. This module provides:
+
+1. the same interface boundary (``Vocoder``: normalized mel [T, 80] ->
+   waveform @16 kHz), so any neural vocoder can plug in; and
+2. a built-in, dependency-free ``GriffinLimVocoder``: pseudo-inverse mel
+   projection (cf. FreeV, arXiv:2406.08196 — pseudo-inverse mel as a
+   free initialization) + batched Griffin-Lim phase recovery, fully
+   jitted. Quality is below a neural vocoder's but it turns converted
+   mels into audible wavs on-device with zero external weights — unlike
+   the reference, which cannot synthesize at all without a 1M-step
+   WaveNet checkpoint downloaded out of band.
+
+The dB/normalization conventions inverted here are exactly the front-end's
+(make_spect_f0.py:58-61): mel_amp = 10^((S*100 - 100 + 16)/20).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechsplit_tpu.ops.stft import hann_window, mel_filterbank
+
+Array = jax.Array
+
+
+class Vocoder(Protocol):
+    def __call__(self, mel: np.ndarray) -> np.ndarray:
+        """normalized mel [T, 80] -> waveform [N] float32 @ sample_rate."""
+
+
+def _istft(spec: Array, n_fft: int, hop: int) -> Array:
+    """Inverse STFT with Hann overlap-add (synthesis-window normalized).
+
+    spec: [..., T, n_fft//2+1] complex -> [..., (T-1)*hop] (center-trimmed
+    to mirror the forward transform's reflect padding).
+    """
+    window = jnp.asarray(hann_window(n_fft))
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
+    t = frames.shape[-2]
+    out_len = n_fft + (t - 1) * hop
+
+    def overlap_add(frames_1):
+        buf = jnp.zeros((out_len,), frames_1.dtype)
+        idx = (
+            jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+        ).reshape(-1)
+        return buf.at[idx].add(frames_1.reshape(-1))
+
+    batch_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, t, n_fft))
+    sig = jax.vmap(overlap_add)(flat)
+
+    wsum = jnp.zeros((out_len,))
+    idx = (
+        jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    ).reshape(-1)
+    wsum = wsum.at[idx].add(jnp.tile(window**2, (t,)))
+    sig = sig / jnp.maximum(wsum, 1e-8)[None, :]
+    pad = n_fft // 2
+    sig = sig[:, pad : pad + (t - 1) * hop]
+    return sig.reshape(batch_shape + (sig.shape[-1],))
+
+
+def _stft_complex(x: Array, n_fft: int, hop: int) -> Array:
+    from speechsplit_tpu.ops.stft import frame_signal
+
+    window = jnp.asarray(hann_window(n_fft))
+    frames = frame_signal(x, n_fft, hop)
+    return jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop", "n_iter")
+)
+def griffin_lim(
+    magnitude: Array,
+    key: Array,
+    n_fft: int = 1024,
+    hop: int = 256,
+    n_iter: int = 60,
+) -> Array:
+    """Phase recovery from |STFT| [..., T, F] via Griffin-Lim."""
+    phase = (
+        jax.random.uniform(key, magnitude.shape) * 2.0 * jnp.pi
+    )
+    spec = magnitude * jnp.exp(1j * phase)
+
+    def body(_, spec):
+        x = _istft(spec, n_fft, hop)
+        rebuilt = _stft_complex(x, n_fft, hop)
+        rebuilt = rebuilt[..., : magnitude.shape[-2], :]
+        new_phase = rebuilt / jnp.maximum(jnp.abs(rebuilt), 1e-8)
+        return magnitude * new_phase
+
+    spec = jax.lax.fori_loop(0, n_iter, body, spec)
+    return _istft(spec, n_fft, hop)
+
+
+class GriffinLimVocoder:
+    """Pseudo-inverse-mel + Griffin-Lim synthesis (see module docstring)."""
+
+    def __init__(
+        self,
+        sample_rate: int = 16000,
+        n_fft: int = 1024,
+        hop: int = 256,
+        n_mels: int = 80,
+        fmin: float = 90.0,
+        fmax: float = 7600.0,
+        ref_level_db: float = 16.0,
+        n_iter: int = 60,
+        seed: int = 0,
+    ):
+        self.sample_rate = sample_rate
+        self.n_fft = n_fft
+        self.hop = hop
+        self.ref_level_db = ref_level_db
+        self.n_iter = n_iter
+        self.key = jax.random.PRNGKey(seed)
+        basis = mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
+        # basis: [F, n_mels]; pinv: [n_mels, F], clipped non-negative
+        self.inv_basis = jnp.asarray(
+            np.maximum(np.linalg.pinv(basis), 0.0), jnp.float32
+        )
+
+    def __call__(self, mel: np.ndarray) -> np.ndarray:
+        mel = jnp.asarray(mel, jnp.float32)  # [T, 80] normalized
+        db = mel * 100.0 - 100.0 + self.ref_level_db
+        amp = jnp.power(10.0, db / 20.0)  # [T, 80]
+        mag = jnp.maximum(amp @ self.inv_basis, 1e-8)  # [T, F]
+        wav = griffin_lim(
+            mag[None], self.key, self.n_fft, self.hop, self.n_iter
+        )[0]
+        wav = wav / jnp.maximum(jnp.abs(wav).max(), 1e-5) * 0.9
+        return np.asarray(wav, np.float32)

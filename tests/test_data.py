@@ -1,0 +1,141 @@
+"""Data pipeline tests: preprocessing end-to-end, collation, sampling."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from speechsplit_tpu.config import SpeechSplitConfig
+from speechsplit_tpu.data.collator import Collator
+from speechsplit_tpu.data.dataset import SpeakerDataset
+from speechsplit_tpu.data.loader import data_loader
+from speechsplit_tpu.data.prepare import (
+    build_metadata,
+    extract_dir,
+    read_wav,
+    speaker_embedding,
+)
+from speechsplit_tpu.data.sampler import RepeatSampler
+
+CFG = SpeechSplitConfig()
+FS = 16000
+
+
+def _write_wav(path, wav):
+    from scipy.io import wavfile
+
+    wavfile.write(path, FS, (wav * 32767).astype(np.int16))
+
+
+def _tone(f0, n, seed=0):
+    t = np.arange(n) / FS
+    r = np.random.RandomState(seed)
+    sig = sum(
+        np.sin(2 * np.pi * f0 * h * t) / h for h in range(1, 4)
+    ) + 0.01 * r.randn(n)
+    return (sig / np.abs(sig).max() * 0.5).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def prepared_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("assets")
+    wav_dir = root / "wavs"
+    mel_dir = root / "spmel"
+    f0_dir = root / "raptf0"
+    spk2gen = {"p001": "M", "p002": "F"}
+    for spk, f0 in [("p001", 110.0), ("p002", 210.0)]:
+        os.makedirs(wav_dir / spk)
+        for i in range(3):
+            n = 2 * FS + i * 2048
+            _write_wav(
+                wav_dir / spk / f"utt{i}.wav", _tone(f0, n, seed=i)
+            )
+    extract_dir(
+        str(wav_dir), str(mel_dir), str(f0_dir), spk2gen, batch_size=4
+    )
+    build_metadata(str(mel_dir), dim_spk_emb=CFG.dim_spk_emb)
+    return str(mel_dir), str(f0_dir)
+
+
+def test_extract_dir_feature_geometry(prepared_dataset):
+    mel_dir, f0_dir = prepared_dataset
+    mel = np.load(os.path.join(mel_dir, "p001", "utt0.npy"))
+    f0 = np.load(os.path.join(f0_dir, "p001", "utt0.npy"))
+    assert mel.shape == (2 * FS // 256 + 1, 80)
+    assert f0.shape == (2 * FS // 256 + 1,)
+    assert mel.dtype == np.float32 and f0.dtype == np.float32
+    # mel normalized roughly into [0, 1]; voiced f0 in [0, 1]
+    assert -0.5 < mel.min() and mel.max() < 1.5
+    voiced = f0 > -1e9
+    assert voiced.mean() > 0.5
+    assert (f0[voiced] >= 0).all() and (f0[voiced] <= 1).all()
+
+
+def test_metadata_structure(prepared_dataset):
+    mel_dir, _ = prepared_dataset
+    with open(os.path.join(mel_dir, "train.pkl"), "rb") as fh:
+        meta = pickle.load(fh)
+    assert len(meta) == 2
+    speaker, emb = meta[0][0], meta[0][1]
+    assert speaker == "p001"
+    assert emb.shape == (82,) and emb.sum() == 1.0
+    assert len(meta[0]) == 2 + 3  # 3 utterances
+
+
+def test_reference_compat_embedding():
+    emb = speaker_embedding("p226", 0, reference_compat=True)
+    assert emb[1] == 1.0
+    emb2 = speaker_embedding("p999", 5, reference_compat=True)
+    assert emb2[7] == 1.0
+
+
+def test_dataset_and_loader(prepared_dataset):
+    mel_dir, f0_dir = prepared_dataset
+    ds = SpeakerDataset(mel_dir, f0_dir)
+    assert len(ds) == 2
+    cfg = CFG.replace(batch_size=4)
+    it = data_loader(ds, cfg, seed=0)
+    batch = next(it)
+    assert batch.mel.shape == (4, 192, 80)
+    assert batch.spk_emb.shape == (4, 82)
+    assert batch.f0.shape == (4, 192, 1)
+    assert batch.len_org.shape == (4,)
+    assert (batch.len_org >= cfg.min_len_seq).all()
+    assert (batch.len_org <= cfg.max_len_seq).all()
+    # mel clipped to [0,1]; f0 padding sentinel present
+    assert batch.mel.min() >= 0 and batch.mel.max() <= 1
+    for i in range(4):
+        assert (batch.f0[i, batch.len_org[i] :, 0] == -1e10).all()
+        assert (batch.mel[i, batch.len_org[i] :, :] == 0).all()
+
+
+def test_collator_short_utterance_no_crash():
+    """Reference crashes on utterances shorter than the crop window
+    (data_loader.py:107); we cap the crop instead."""
+    cfg = CFG
+    collator = Collator(cfg)
+    rng = np.random.default_rng(0)
+    mel = np.random.rand(10, 80).astype(np.float32)
+    f0 = np.random.rand(10).astype(np.float32)
+    emb = np.zeros(82, np.float32)
+    batch = collator([(mel, emb, f0)], rng)
+    assert batch.len_org[0] == 10
+    assert batch.mel.shape == (1, 192, 80)
+
+
+def test_repeat_sampler_epoch():
+    sampler = RepeatSampler(5, 8, shuffle=True)
+    assert len(sampler) == 40
+    rng = np.random.default_rng(0)
+    epoch = sampler.epoch(rng)
+    assert len(epoch) == 40
+    counts = np.bincount(epoch, minlength=5)
+    assert (counts == 8).all()
+
+
+def test_read_wav_roundtrip(tmp_path):
+    wav = _tone(150.0, FS)
+    _write_wav(tmp_path / "x.wav", wav)
+    back = read_wav(str(tmp_path / "x.wav"))
+    assert np.abs(back - wav).max() < 1e-3

@@ -1,0 +1,119 @@
+"""Accuracy tests for the batched NCCF+Viterbi pitch tracker.
+
+No RAPT oracle is available (pysptk is not installed), so the tracker is
+validated on synthetic signals with known ground truth: steady tones,
+vibrato, glides, voiced/unvoiced alternation, and the gender search
+ranges used by the reference (make_spect_f0.py:40-45).
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from speechsplit_tpu.ops.pitch import UNVOICED_LOG_F0, track_pitch
+
+FS = 16000
+HOP = 256
+
+
+def _voiced_tone(f0, n, fs=FS, harmonics=4):
+    t = np.arange(n) / fs
+    sig = np.zeros(n)
+    for h in range(1, harmonics + 1):
+        sig += np.sin(2 * np.pi * f0 * h * t) / h
+    return (sig / np.abs(sig).max() * 0.5).astype(np.float32)
+
+
+def _extract(x_batch, lengths, lo, hi):
+    out = track_pitch(
+        jnp.asarray(x_batch),
+        jnp.asarray(lengths),
+        jnp.asarray(lo, jnp.float32),
+        jnp.asarray(hi, jnp.float32),
+    )
+    return np.asarray(out)
+
+
+def test_steady_tones_tracked_accurately():
+    n = FS  # 1 s
+    f0s = [100.0, 150.0, 220.0, 330.0]
+    x = np.stack([_voiced_tone(f, n) for f in f0s])
+    logf0 = _extract(
+        x, [n] * 4, [50.0] * 4, [600.0] * 4
+    )
+    assert logf0.shape == (4, n // HOP + 1)
+    for i, f in enumerate(f0s):
+        # ignore edge frames where the analysis window runs off the signal
+        interior = logf0[i, 2:-4]
+        voiced = interior > -1e9
+        assert voiced.mean() > 0.9, f"tone {f} mostly unvoiced"
+        err_cents = 1200 * np.abs(
+            interior[voiced] / np.log(2) - np.log2(f)
+        )
+        assert np.median(err_cents) < 20, f"tone {f}: {np.median(err_cents)}"
+
+
+def test_silence_and_noise_unvoiced():
+    rng = np.random.RandomState(0)
+    silence = np.zeros((1, FS), np.float32)
+    noise = (rng.randn(1, FS) * 0.3).astype(np.float32)
+    out_sil = _extract(silence, [FS], [50.0], [600.0])
+    out_noise = _extract(noise, [FS], [50.0], [600.0])
+    assert (out_sil == UNVOICED_LOG_F0).mean() > 0.95
+    assert (out_noise == UNVOICED_LOG_F0).mean() > 0.8
+
+
+def test_voiced_unvoiced_alternation():
+    rng = np.random.RandomState(1)
+    tone = _voiced_tone(160.0, FS // 2)
+    noise = (rng.randn(FS // 2) * 0.02).astype(np.float32)
+    x = np.concatenate([tone, noise, tone])[None, :]
+    out = _extract(x, [x.shape[1]], [50.0], [600.0])[0]
+    t_frames = FS // 2 // HOP
+    # margins around transitions
+    assert (out[2 : t_frames - 2] > -1e9).mean() > 0.85
+    assert (
+        out[t_frames + 2 : 2 * t_frames - 2] == UNVOICED_LOG_F0
+    ).mean() > 0.8
+    assert (out[2 * t_frames + 2 : 3 * t_frames - 4] > -1e9).mean() > 0.85
+
+
+def test_glide_tracks_smoothly():
+    n = FS
+    t = np.arange(n) / FS
+    f_inst = 120.0 * (2.0 ** (t / 2.0))  # one octave over 2 s
+    phase = 2 * np.pi * np.cumsum(f_inst) / FS
+    x = (0.5 * np.sin(phase)).astype(np.float32)[None, :]
+    out = _extract(x, [n], [50.0], [600.0])[0]
+    interior = out[2:-4]
+    voiced = interior > -1e9
+    assert voiced.mean() > 0.9
+    # tracked contour stays within 50 cents of the true glide
+    frames = np.arange(len(out))[2:-4][voiced]
+    true_f = 120.0 * (2.0 ** (frames * HOP / FS / 2.0))
+    err_cents = 1200 * np.abs(
+        interior[voiced] / np.log(2) - np.log2(true_f)
+    )
+    assert np.median(err_cents) < 30
+
+
+def test_gender_range_masks_octave_errors():
+    # a 120 Hz tone must not be reported inside a female search range as
+    # its 240 Hz octave error when lo=100 allows the true pitch
+    n = FS
+    x = _voiced_tone(120.0, n)[None, :]
+    male = _extract(x, [n], [50.0], [250.0])[0]
+    interior = male[2:-4]
+    voiced = interior > -1e9
+    assert voiced.mean() > 0.9
+    f_est = np.exp(interior[voiced])
+    assert np.abs(np.median(f_est) - 120.0) < 5.0
+
+
+def test_frames_past_length_are_unvoiced():
+    x = np.zeros((2, FS), np.float32)
+    x[0] = _voiced_tone(150.0, FS)
+    x[1, : FS // 2] = _voiced_tone(150.0, FS // 2)
+    out = _extract(x, [FS, FS // 2], [50.0] * 2, [600.0] * 2)
+    cut = (FS // 2) // HOP + 1
+    assert (out[1, cut:] == UNVOICED_LOG_F0).all()
