@@ -1,0 +1,146 @@
+"""Benchmark: full-geometry training throughput on the local accelerator.
+
+Prints ONE JSON line:
+  {"metric": "train_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": R}
+
+The reference publishes no performance numbers (BASELINE.md), so the
+baseline here is the measured throughput of the reference PyTorch train
+step (same model geometry, same batch 16, forward+backward+Adam) on this
+host's CPU — the only hardware both stacks can run on in this
+environment. ``vs_baseline`` is ours/theirs. Extra context (preprocessing
+throughput, baseline numbers) goes to stderr only.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _enable_compile_cache() -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench_train_steps(n_warmup: int = 3, n_meas: int = 200) -> float:
+    import jax
+
+    _enable_compile_cache()
+
+    from speechsplit_tpu.config import SpeechSplitConfig
+    from speechsplit_tpu.data.collator import Batch
+    from speechsplit_tpu.training.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    config = SpeechSplitConfig()
+    module, state = create_train_state(config, jax.random.PRNGKey(0))
+    step = make_train_step(config, module)
+
+    rng = np.random.RandomState(0)
+    b, t = config.batch_size, config.max_len_pad
+    batch = Batch(
+        mel=rng.rand(b, t, config.dim_freq).astype(np.float32),
+        spk_emb=np.eye(b, config.dim_spk_emb, dtype=np.float32),
+        f0=rng.rand(b, t, 1).astype(np.float32),
+        len_org=rng.randint(
+            config.min_len_seq, config.max_len_seq + 1, b
+        ).astype(np.int32),
+    )
+    batch = jax.tree.map(jax.device_put, batch)
+    key = jax.random.PRNGKey(1)
+
+    for _ in range(n_warmup):
+        state, loss = step(state, batch, key)
+    jax.block_until_ready(state.params)
+
+    start = time.perf_counter()
+    for _ in range(n_meas):
+        state, loss = step(state, batch, key)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - start
+    log(f"jax: {n_meas} steps in {elapsed:.3f}s on {jax.devices()[0]}")
+    return n_meas / elapsed
+
+
+def bench_reference_cpu(n_meas: int = 3) -> float | None:
+    """Reference PyTorch train step on host CPU (same batch/geometry)."""
+    try:
+        sys.path.insert(0, "/root/repo/tests")
+        sys.path.insert(0, "/root/repo")
+        import torch
+        from tests.reference_oracle import load_reference
+
+        ref_model, ref_hparams = load_reference()
+    except Exception as exc:  # reference not available
+        log(f"reference baseline unavailable: {exc}")
+        return None
+
+    import torch
+
+    torch.manual_seed(0)
+    g = ref_model.Generator_3(ref_hparams).train()
+    interp = ref_model.InterpLnr(ref_hparams).train()
+    opt = torch.optim.Adam(g.parameters(), 1e-4, (0.9, 0.999))
+
+    rng = np.random.RandomState(0)
+    b, t = 16, 192
+    mel = torch.from_numpy(rng.rand(b, t, 80).astype(np.float32))
+    f0 = torch.from_numpy(rng.rand(b, t, 1).astype(np.float32))
+    emb = torch.from_numpy(np.eye(b, 82, dtype=np.float32))
+    lens = torch.from_numpy(
+        rng.randint(64, 129, b).astype(np.int64)
+    )
+
+    sys.path.insert(0, "/root/reference")
+    from utils import quantize_f0_torch  # reference util, host oracle
+
+    def one_step():
+        x_f0 = torch.cat((mel, f0), dim=-1)
+        x_f0_intrp = interp(x_f0, lens)
+        f0_q = quantize_f0_torch(x_f0_intrp[:, :, -1])[0]
+        x_in = torch.cat((x_f0_intrp[:, :, :-1], f0_q), dim=-1)
+        out = g(x_in, mel, emb)
+        loss = torch.nn.functional.mse_loss(mel, out)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    one_step()  # warmup
+    start = time.perf_counter()
+    for _ in range(n_meas):
+        one_step()
+    elapsed = time.perf_counter() - start
+    log(f"torch-cpu: {n_meas} steps in {elapsed:.3f}s")
+    return n_meas / elapsed
+
+
+def main() -> None:
+    ours = bench_train_steps()
+    baseline = bench_reference_cpu()
+    vs = round(ours / baseline, 3) if baseline else None
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec",
+                "value": round(ours, 3),
+                "unit": "steps/s",
+                "vs_baseline": vs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

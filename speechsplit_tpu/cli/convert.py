@@ -1,0 +1,99 @@
+"""Conversion CLI (replaces demo.ipynb cells 0-1).
+
+Loads generator + F0-converter weights (either this framework's Orbax
+checkpoints or reference ``.ckpt`` files via the interop importer), runs
+the 7 conversion conditions between two utterances of a demo.pkl-style
+bundle, writes mel ``.npy`` files and — with ``--synthesize`` — wavs via
+the built-in Griffin-Lim vocoder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def _load_params(path: str, model: str, config):
+    from speechsplit_tpu.interop import load_reference_checkpoint
+
+    if path.endswith(".ckpt"):
+        return load_reference_checkpoint(path, model)
+    import jax
+
+    from speechsplit_tpu.training import checkpoint as ckpt_lib
+    from speechsplit_tpu.training.train_step import create_train_state
+
+    # orbax directory: {step}-{tag}
+    base = os.path.basename(path.rstrip("/"))
+    step = int(base.split("-")[0])
+    tag = base.split("-")[1]
+    _, abstract = create_train_state(config, jax.random.PRNGKey(0), model)
+    state = ckpt_lib.restore_checkpoint(
+        os.path.dirname(path), step, abstract, tag
+    )
+    return state.params
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--generator_ckpt", required=True)
+    parser.add_argument("--f0_ckpt", required=True)
+    parser.add_argument("--metadata", default="assets/demo.pkl")
+    parser.add_argument("--source_index", type=int, default=0)
+    parser.add_argument("--target_index", type=int, default=1)
+    parser.add_argument("--out_dir", default="results")
+    parser.add_argument(
+        "--conditions", default="R,F,U,RF,RU,FU,RFU",
+        help="comma-separated subset of the 7 conditions",
+    )
+    parser.add_argument("--synthesize", action="store_true")
+    parser.add_argument("--hparams", default="", help="k=v,k=v overrides")
+    args = parser.parse_args(argv)
+
+    from speechsplit_tpu.config import SpeechSplitConfig
+    from speechsplit_tpu.convert import (
+        convert,
+        load_demo_metadata,
+        utterance_from_metadata,
+    )
+    from speechsplit_tpu.models import F0Converter, SpeechSplit
+
+    config = SpeechSplitConfig().parse(args.hparams)
+    g_params = _load_params(args.generator_ckpt, "speechsplit", config)
+    p_params = _load_params(args.f0_ckpt, "f0_converter", config)
+
+    metadata = load_demo_metadata(args.metadata)
+    src = utterance_from_metadata(config, metadata[args.source_index])
+    trg = utterance_from_metadata(config, metadata[args.target_index])
+
+    results = convert(
+        SpeechSplit(config), g_params,
+        F0Converter(config), p_params,
+        src, trg,
+        conditions=args.conditions.split(","),
+    )
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    vocoder = None
+    if args.synthesize:
+        from speechsplit_tpu.vocoder import GriffinLimVocoder
+
+        vocoder = GriffinLimVocoder()
+    for name, mel in results:
+        np.save(os.path.join(args.out_dir, name + ".npy"), mel)
+        print(f"{name}: mel {mel.shape}")
+        if vocoder is not None:
+            from scipy.io import wavfile
+
+            wav = vocoder(mel)
+            wavfile.write(
+                os.path.join(args.out_dir, name + ".wav"),
+                vocoder.sample_rate,
+                (wav * 32767).astype(np.int16),
+            )
+
+
+if __name__ == "__main__":
+    main()

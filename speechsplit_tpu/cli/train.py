@@ -1,0 +1,88 @@
+"""Training CLI (replaces reference main.py).
+
+Same flag surface as the reference argparse (main.py:41-59) plus:
+``--model`` selects the generator or the F0 converter (the reference has
+no F0-converter training entry point at all), ``--hparams`` takes
+"k=v,k=v" config overrides (the HParams.parse shim), and ``--num_devices``
+spans a data mesh.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def str2bool(v: str) -> bool:
+    return v.lower() in ("true", "1", "yes")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--num_iters", type=int, default=1_000_000)
+    parser.add_argument("--g_lr", type=float, default=1e-4)
+    parser.add_argument("--beta1", type=float, default=0.9)
+    parser.add_argument("--beta2", type=float, default=0.999)
+    parser.add_argument("--resume_iters", type=int, default=None)
+    parser.add_argument("--use_tensorboard", type=str2bool, default=False)
+    parser.add_argument("--log_dir", default="run/logs")
+    parser.add_argument("--model_save_dir", default="run/models")
+    parser.add_argument("--sample_dir", default="run/samples")
+    parser.add_argument("--log_step", type=int, default=10)
+    parser.add_argument("--sample_step", type=int, default=1000)
+    parser.add_argument("--model_save_step", type=int, default=1000)
+    parser.add_argument("--validation_path", default="assets/demo.pkl")
+    parser.add_argument(
+        "--model", default="speechsplit",
+        choices=["speechsplit", "f0_converter"],
+    )
+    parser.add_argument("--hparams", default="", help="k=v,k=v overrides")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--num_devices", type=int, default=0,
+        help="devices in the data mesh (0 = all available)",
+    )
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from speechsplit_tpu.config import SpeechSplitConfig
+    from speechsplit_tpu.data.dataset import SpeakerDataset
+    from speechsplit_tpu.data.loader import data_loader
+    from speechsplit_tpu.parallel import make_mesh
+    from speechsplit_tpu.training.solver import Solver, SolverConfig
+
+    config = SpeechSplitConfig(
+        learning_rate=args.g_lr, adam_b1=args.beta1, adam_b2=args.beta2
+    ).parse(args.hparams)
+    print(config.debug_string())
+
+    for d in (args.log_dir, args.model_save_dir, args.sample_dir):
+        os.makedirs(d, exist_ok=True)
+
+    dataset = SpeakerDataset(config.root_dir, config.feat_dir)
+    loader = data_loader(dataset, config, seed=args.seed)
+
+    devices = jax.devices()
+    n = args.num_devices or len(devices)
+    mesh = make_mesh((n,), devices=devices[:n]) if n > 1 else None
+
+    run_config = SolverConfig(
+        num_iters=args.num_iters,
+        resume_iters=args.resume_iters,
+        log_dir=args.log_dir,
+        model_save_dir=args.model_save_dir,
+        sample_dir=args.sample_dir,
+        log_step=args.log_step,
+        sample_step=args.sample_step,
+        model_save_step=args.model_save_step,
+        use_tensorboard=args.use_tensorboard,
+        seed=args.seed,
+        validation_path=args.validation_path,
+        model=args.model,
+    )
+    Solver(loader, run_config, config, mesh=mesh).train()
+
+
+if __name__ == "__main__":
+    main()
