@@ -61,14 +61,18 @@ def bench_train_steps(n_warmup: int = 3, n_meas: int = 200) -> float:
     batch = jax.tree.map(jax.device_put, batch)
     key = jax.random.PRNGKey(1)
 
+    # NOTE: on the tunneled TPU platform in this environment,
+    # block_until_ready does not actually synchronize; the only reliable
+    # fence is a host fetch. Steps are value-chained (state feeds the
+    # next step), so fetching the final loss times the whole chain.
     for _ in range(n_warmup):
         state, loss = step(state, batch, key)
-    jax.block_until_ready(state.params)
+    _ = float(loss)
 
     start = time.perf_counter()
     for _ in range(n_meas):
         state, loss = step(state, batch, key)
-    jax.block_until_ready(state.params)
+    _ = float(loss)
     elapsed = time.perf_counter() - start
     log(f"jax: {n_meas} steps in {elapsed:.3f}s on {jax.devices()[0]}")
     return n_meas / elapsed

@@ -124,6 +124,61 @@ def convert(
     return results
 
 
+def convert_batched(
+    g_module: SpeechSplit,
+    g_params,
+    p_module: F0Converter,
+    p_params,
+    pairs: Sequence[Tuple[Utterance, Utterance]],
+    conditions: Sequence[str] = CONDITIONS,
+) -> List[List[Tuple[str, np.ndarray]]]:
+    """Throughput-oriented conversion: all conditions of all pairs in
+    single batched device calls.
+
+    Where :func:`convert` runs one [1, T, .] forward per condition, this
+    stacks every (pair, condition) combination into one
+    ``[P * C, T, .]`` batch — one F0-converter call for the P pairs and
+    one generator call for the whole grid — keeping the MXU fed. Returns
+    per-pair lists matching :func:`convert`'s output format.
+    """
+    p_count = len(pairs)
+    mel_src = jnp.concatenate([s.mel for s, _ in pairs], axis=0)
+    mel_trg = jnp.concatenate([t.mel for _, t in pairs], axis=0)
+    f0_src = jnp.concatenate([s.f0_onehot for s, _ in pairs], axis=0)
+    f0_trg = jnp.concatenate([t.f0_onehot for _, t in pairs], axis=0)
+    emb_src = jnp.concatenate([s.spk_emb for s, _ in pairs], axis=0)
+    emb_trg = jnp.concatenate([t.spk_emb for _, t in pairs], axis=0)
+
+    # one batched F0 conversion for every pair
+    f0_con = _f0_convert_jit(p_module, p_params, mel_src, f0_trg)
+
+    x_f0_org = jnp.concatenate([mel_src, f0_src], axis=-1)
+    x_f0_con = jnp.concatenate([mel_src, f0_con], axis=-1)
+
+    # build the (pair x condition) grid
+    xs, orgs, embs = [], [], []
+    for condition in conditions:
+        xs.append(x_f0_con if "F" in condition else x_f0_org)
+        orgs.append(mel_trg if "R" in condition else mel_src)
+        embs.append(emb_trg if "U" in condition else emb_src)
+    out = _generate_jit(
+        g_module,
+        g_params,
+        jnp.concatenate(xs, axis=0),
+        jnp.concatenate(orgs, axis=0),
+        jnp.concatenate(embs, axis=0),
+    )  # [C * P, T, 80]
+    out = np.asarray(out)
+
+    results: List[List[Tuple[str, np.ndarray]]] = [[] for _ in pairs]
+    for ci, condition in enumerate(conditions):
+        for pi, (src, trg) in enumerate(pairs):
+            cut = trg.length if "R" in condition else src.length
+            name = f"{src.name}_{trg.name}_{src.uid}_{condition}"
+            results[pi].append((name, out[ci * p_count + pi, :cut, :]))
+    return results
+
+
 def load_demo_metadata(path: str) -> list:
     """Load a demo.pkl-style validation bundle
     (entries: [spk_name, spk_emb(1,82), (mel, f0, len, uid)])."""

@@ -164,12 +164,28 @@ def _lstm_direction(
     x_proj: [B, T, 4H] = x @ W_ih^T + (b_ih + b_hh), gates ordered i,f,g,o.
     w_hh:   [H, 4H].
     Returns hidden states [B, T, H].
+
+    Dispatch: wide, lane-aligned recurrences (the decoders) run the fused
+    Pallas sequence kernel (ops/pallas_lstm.py — W_hh pinned in VMEM,
+    state never leaves chip); narrow bottleneck LSTMs and CPU runs take
+    the lax.scan path. Both produce identical numerics.
     """
+    from speechsplit_tpu.ops import pallas_lstm
+
     batch, _, four_h = x_proj.shape
     hidden = four_h // 4
     if reverse:
         x_proj = jnp.flip(x_proj, axis=1)
-    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H] time-major for scan
+    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H] time-major
+
+    if dtype == jnp.float32 and pallas_lstm.supported(batch, hidden):
+        hs = pallas_lstm.lstm_sequence(
+            xs.astype(jnp.float32), w_hh.astype(jnp.float32)
+        )
+        hs = jnp.swapaxes(hs, 0, 1)
+        if reverse:
+            hs = jnp.flip(hs, axis=1)
+        return hs
 
     w_hh_c = w_hh.astype(dtype)
 

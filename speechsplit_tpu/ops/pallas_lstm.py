@@ -1,0 +1,245 @@
+"""Fused Pallas LSTM-sequence kernels (the decoder hot path).
+
+The five BiLSTM stacks are this model's FLOPs center (SURVEY.md §2.5:
+the reference runs them on cuDNN, model.py:244,268). Under plain
+``lax.scan`` XLA re-fetches the recurrent weight matrix and bounces the
+carried state through HBM fusion boundaries every step. These kernels
+run the *entire* time loop as one Pallas grid:
+
+- the grid dimension is time (sequential on TPU by construction);
+- ``W_hh`` ([H, 4H], e.g. 4 MB for the 512-wide decoder) is pinned in
+  VMEM for the whole sequence;
+- h/c live in VMEM scratch across grid steps — zero HBM traffic for the
+  recurrence, one block load (x-projection) + one block store (h) per
+  step;
+- the backward pass is a second Pallas kernel walking the grid in
+  reverse, accumulating ``dW_hh`` on-chip, wired up via ``custom_vjp``.
+
+Only the input projection (one large [T*B, I] @ [I, 4H] matmul) and the
+W_ih/bias gradients stay outside — they are single big MXU matmuls XLA
+already handles optimally.
+
+Applicability: gate dims must tile the MXU/VPU lanes (H and 4H multiples
+of 128, batch >= 8), which covers the mel decoder (H=512) and F0 decoder
+(H=256); the tiny encoder bottleneck LSTMs (H=1/8/32) stay on the scan
+path — they are negligible FLOPs. ``supported()`` makes the decision;
+eval/train numerics match the scan path exactly (tests/test_pallas_lstm
+checks in interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# Tests flip this to exercise the kernels on CPU via the interpreter.
+FORCE_INTERPRET = False
+
+
+def supported(batch: int, hidden: int) -> bool:
+    """Can (and should) the Pallas path run for these dims on this backend?"""
+    shape_ok = (
+        batch >= 8 and hidden % 128 == 0 and (4 * hidden) % 128 == 0
+    )
+    if not shape_ok:
+        return False
+    if FORCE_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+# --------------------------------------------------------------- forward
+
+
+def _fwd_kernel(xp_ref, whh_ref, h_ref, gates_ref, c_ref, h_st, c_st):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_st[:] = jnp.zeros_like(h_st)
+        c_st[:] = jnp.zeros_like(c_st)
+
+    gates = xp_ref[0] + jnp.dot(
+        h_st[:], whh_ref[:], preferred_element_type=jnp.float32
+    )
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c = f * c_st[:] + i * g
+    h = o * jnp.tanh(c)
+
+    gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1)
+    c_ref[0] = c
+    h_ref[0] = h
+    h_st[:] = h
+    c_st[:] = c
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _fwd(x_proj: Array, w_hh: Array) -> Tuple[Array, Array, Array]:
+    """x_proj: [T, B, 4H] (pre-projected inputs incl. biases), w_hh [H, 4H].
+    Returns (h [T,B,H], gates [T,B,4H], c [T,B,H])."""
+    t, b, four_h = x_proj.shape
+    h_dim = four_h // 4
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, b, four_h), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (h_dim, four_h), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, b, h_dim), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, b, four_h), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, b, h_dim), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h_dim), jnp.float32),
+            pltpu.VMEM((b, h_dim), jnp.float32),
+        ],
+        interpret=FORCE_INTERPRET,
+    )(x_proj, w_hh)
+
+
+# -------------------------------------------------------------- backward
+
+
+def _bwd_kernel(
+    dh_out_ref, gates_ref, c_ref, cprev_ref, hprev_ref, whh_ref,
+    dxp_ref, dwhh_ref, dh_st, dc_st,
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        dh_st[:] = jnp.zeros_like(dh_st)
+        dc_st[:] = jnp.zeros_like(dc_st)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+
+    i, f, g, o = jnp.split(gates_ref[0], 4, axis=-1)
+    c = c_ref[0]
+    tanh_c = jnp.tanh(c)
+    dh = dh_out_ref[0] + dh_st[:]
+    do = dh * tanh_c
+    dc = dc_st[:] + dh * o * (1.0 - tanh_c * tanh_c)
+    di = dc * g
+    df = dc * cprev_ref[0]
+    dg = dc * i
+    d_pre = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=-1,
+    )
+    dxp_ref[0] = d_pre
+    # dW_hh += h_prev^T @ d_pre  ([H,B]x[B,4H])
+    dwhh_ref[:] += jax.lax.dot_general(
+        hprev_ref[0], d_pre, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # carry to step t-1
+    dh_st[:] = jax.lax.dot_general(
+        d_pre, whh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dc_st[:] = dc * f
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _bwd_call(dh_out, gates, c, c_prev, h_prev, w_hh):
+    t, b, four_h = gates.shape
+    h_dim = four_h // 4
+    rev = lambda i: (t - 1 - i, 0, 0)  # walk time backwards
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, four_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (h_dim, four_h), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, four_h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (h_dim, four_h), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((h_dim, four_h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h_dim), jnp.float32),
+            pltpu.VMEM((b, h_dim), jnp.float32),
+        ],
+        interpret=FORCE_INTERPRET,
+    )(dh_out, gates, c, c_prev, h_prev, w_hh)
+
+
+# ------------------------------------------------------------ public op
+
+
+@jax.custom_vjp
+def lstm_sequence(x_proj: Array, w_hh: Array) -> Array:
+    """Run an LSTM over time: x_proj [T, B, 4H], w_hh [H, 4H] -> h [T, B, H].
+
+    Gate layout i, f, g, o (torch-compatible, matching models/layers.py).
+    Zero initial state. Differentiable (custom VJP, Pallas both ways).
+    """
+    h, _, _ = _fwd(x_proj, w_hh)
+    return h
+
+
+def _vjp_fwd(x_proj, w_hh):
+    h, gates, c = _fwd(x_proj, w_hh)
+    return h, (gates, c, h, w_hh)
+
+
+def _vjp_bwd(residuals, dh_out):
+    gates, c, h, w_hh = residuals
+    c_prev = jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]], axis=0)
+    h_prev = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]], axis=0)
+    dxp, dwhh = _bwd_call(dh_out, gates, c, c_prev, h_prev, w_hh)
+    return dxp, dwhh
+
+
+lstm_sequence.defvjp(_vjp_fwd, _vjp_bwd)

@@ -32,6 +32,7 @@ from speechsplit_tpu.training.train_step import (
     make_f0_train_step,
     make_train_step,
 )
+from speechsplit_tpu.utils.profiling import StepTimer
 
 
 @dataclasses.dataclass
@@ -50,6 +51,9 @@ class SolverConfig:
     seed: int = 0
     validation_path: str = "assets/demo.pkl"
     model: str = "speechsplit"  # or "f0_converter"
+    profile_dir: str = ""       # jax.profiler trace of a step window
+    profile_start: int = 10
+    profile_steps: int = 5
 
 
 class Solver:
@@ -120,26 +124,44 @@ class Solver:
         batches = prefetch_to_device(self.loader)
         print("Start training...")
         start_time = time.time()
-        loss_val = float("nan")
+        timer = StepTimer()
 
         for i in range(start_iters, num_iters):
             batch = next(batches)
+            if rc.profile_dir and i == start_iters + rc.profile_start:
+                jax.profiler.start_trace(rc.profile_dir)
             self.state, loss = self.train_step(
                 self.state, batch, self.base_key
             )
+            timer.tick()
+            if rc.profile_dir and i == (
+                start_iters + rc.profile_start + rc.profile_steps
+            ):
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                print(f"Wrote profiler trace to {rc.profile_dir}")
 
             if (i + 1) % rc.log_step == 0:
                 loss_val = float(loss)
+                if not np.isfinite(loss_val):
+                    raise FloatingPointError(
+                        f"non-finite loss {loss_val} at step {i + 1}; "
+                        f"latest checkpoint is in {rc.model_save_dir}"
+                    )
                 et = str(
                     datetime.timedelta(seconds=time.time() - start_time)
                 )[:-7]
                 print(
                     f"Elapsed [{et}], Iteration [{i + 1}/{num_iters}], "
-                    f"{self.tag}/loss_id: {loss_val:.8f}"
+                    f"{self.tag}/loss_id: {loss_val:.8f}, "
+                    f"{timer.steps_per_sec:.1f} steps/s"
                 )
                 if self.writer:
                     self.writer.add_scalar(
                         f"{self.tag}/loss_id", loss_val, i + 1
+                    )
+                    self.writer.add_scalar(
+                        "steps_per_sec", timer.steps_per_sec, i + 1
                     )
 
             if (i + 1) % rc.model_save_step == 0:

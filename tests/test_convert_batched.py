@@ -1,0 +1,46 @@
+"""Batched conversion must reproduce the per-utterance driver exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from speechsplit_tpu.config import SpeechSplitConfig
+from speechsplit_tpu.convert import convert, convert_batched, prepare_utterance
+from speechsplit_tpu.training.train_step import create_train_state
+
+CFG = SpeechSplitConfig(
+    dim_enc=64, dim_enc_2=32, dim_enc_3=64,
+    dim_neck=4, dim_neck_2=1, dim_neck_3=8,
+    dim_dec_mel=64, dim_dec_f0=32,
+)
+
+
+def _utt(rng, name, uid, length):
+    mel = rng.rand(length, 80).astype(np.float32)
+    f0 = rng.rand(length).astype(np.float32)
+    emb = np.zeros(82, np.float32)
+    emb[rng.randint(0, 82)] = 1.0
+    return prepare_utterance(CFG, mel, f0, emb, name=name, uid=uid)
+
+
+def test_batched_matches_sequential(rng):
+    g_module, g_state = create_train_state(CFG, jax.random.PRNGKey(0))
+    p_module, p_state = create_train_state(
+        CFG, jax.random.PRNGKey(1), "f0_converter"
+    )
+    pairs = [
+        (_utt(rng, "a", "u0", 150), _utt(rng, "b", "v0", 120)),
+        (_utt(rng, "c", "u1", 100), _utt(rng, "d", "v1", 180)),
+    ]
+    batched = convert_batched(
+        g_module, g_state.params, p_module, p_state.params, pairs
+    )
+    for pi, (src, trg) in enumerate(pairs):
+        sequential = convert(
+            g_module, g_state.params, p_module, p_state.params, src, trg
+        )
+        assert len(batched[pi]) == len(sequential) == 7
+        for (bn, bm), (sn, sm) in zip(batched[pi], sequential):
+            assert bn == sn
+            np.testing.assert_allclose(bm, sm, atol=1e-5), bn

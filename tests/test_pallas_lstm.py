@@ -1,0 +1,87 @@
+"""Pallas LSTM kernels vs the lax.scan reference path (interpret mode).
+
+Numerics must match exactly-ish (same math, same precision policy) in
+both forward and backward; these tests run the kernels through the
+Pallas interpreter on CPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speechsplit_tpu.ops import pallas_lstm
+
+T, B, H = 12, 8, 128  # satisfies tiling constraints
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    pallas_lstm.FORCE_INTERPRET = True
+    yield
+    pallas_lstm.FORCE_INTERPRET = False
+
+
+def _scan_reference(x_proj, w_hh):
+    def cell(carry, xt):
+        h, c = carry
+        gates = xt + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+    _, hs = jax.lax.scan(cell, init, x_proj)
+    return hs
+
+
+def _inputs(seed=0):
+    rng = np.random.RandomState(seed)
+    x_proj = jnp.asarray(rng.randn(T, B, 4 * H).astype(np.float32) * 0.4)
+    w_hh = jnp.asarray(rng.randn(H, 4 * H).astype(np.float32) * 0.05)
+    return x_proj, w_hh
+
+
+def test_forward_matches_scan():
+    x_proj, w_hh = _inputs()
+    expected = np.asarray(_scan_reference(x_proj, w_hh))
+    got = np.asarray(pallas_lstm.lstm_sequence(x_proj, w_hh))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_gradients_match_scan():
+    x_proj, w_hh = _inputs(1)
+    target = jnp.asarray(
+        np.random.RandomState(2).randn(T, B, H).astype(np.float32)
+    )
+
+    def loss_pallas(xp, w):
+        return jnp.mean(
+            jnp.square(pallas_lstm.lstm_sequence(xp, w) - target)
+        )
+
+    def loss_scan(xp, w):
+        return jnp.mean(jnp.square(_scan_reference(xp, w) - target))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(x_proj, w_hh)
+    gs = jax.grad(loss_scan, argnums=(0, 1))(x_proj, w_hh)
+    np.testing.assert_allclose(
+        np.asarray(gp[0]), np.asarray(gs[0]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp[1]), np.asarray(gs[1]), atol=1e-5
+    )
+
+
+def test_supported_predicate():
+    assert pallas_lstm.supported(8, 128)
+    assert pallas_lstm.supported(16, 512)
+    assert not pallas_lstm.supported(4, 512)   # batch too small
+    assert not pallas_lstm.supported(16, 8)    # bottleneck LSTM
+    assert not pallas_lstm.supported(16, 96)   # not lane-aligned
