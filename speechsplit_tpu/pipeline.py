@@ -1,0 +1,202 @@
+"""End-to-end voice conversion pipeline: wav files in, converted wavs out.
+
+The reference's inference story requires hand-running three artifacts
+(make_spect_f0.py features, demo.ipynb cell-0 conversion, an external
+WaveNet for cell-1 synthesis). This module composes this framework's
+pieces into one object: feature extraction (batched, on device), the
+7-condition converter, and a vocoder.
+
+    vc = VoiceConverter.from_checkpoints("run/models/660000-G",
+                                         "run/models/640000-P")
+    results = vc.convert_wav_files("src.wav", "trg.wav",
+                                   src_gender="M", trg_gender="F")
+
+Reference ``.ckpt`` files are accepted as checkpoint paths (converted on
+load via interop).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from speechsplit_tpu.config import SpeechSplitConfig
+from speechsplit_tpu.convert import (
+    CONDITIONS,
+    Utterance,
+    convert_batched,
+    prepare_utterance,
+)
+from speechsplit_tpu.models import F0Converter, SpeechSplit
+from speechsplit_tpu.preprocess import (
+    GENDER_F0_RANGE,
+    extract_features,
+    frame_count,
+    pad_batch,
+)
+from speechsplit_tpu.vocoder import GriffinLimVocoder, Vocoder
+
+
+class VoiceConverter:
+    """Loaded models + feature front-end + vocoder, ready to convert."""
+
+    def __init__(
+        self,
+        config: SpeechSplitConfig,
+        g_params,
+        p_params,
+        vocoder: Optional[Vocoder] = None,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.g_module = SpeechSplit(config)
+        self.p_module = F0Converter(config)
+        self.g_params = g_params
+        self.p_params = p_params
+        self.vocoder = vocoder or GriffinLimVocoder(
+            sample_rate=config.sample_rate,
+            n_fft=config.fft_length,
+            hop=config.hop_length,
+            n_mels=config.dim_freq,
+            fmin=config.mel_fmin,
+            fmax=config.mel_fmax,
+        )
+        self._key = jax.random.PRNGKey(seed)
+
+    @classmethod
+    def from_checkpoints(
+        cls,
+        generator_path: str,
+        f0_converter_path: str,
+        config: Optional[SpeechSplitConfig] = None,
+        **kwargs,
+    ) -> "VoiceConverter":
+        config = config or SpeechSplitConfig()
+
+        def load(path, model):
+            if path.endswith(".ckpt"):
+                from speechsplit_tpu.interop import (
+                    load_reference_checkpoint,
+                )
+
+                return load_reference_checkpoint(path, model)
+            from speechsplit_tpu.training import checkpoint as ckpt_lib
+            from speechsplit_tpu.training.train_step import (
+                create_train_state,
+            )
+
+            base = os.path.basename(path.rstrip("/"))
+            step, tag = base.split("-")
+            _, abstract = create_train_state(
+                config, jax.random.PRNGKey(0), model
+            )
+            state = ckpt_lib.restore_checkpoint(
+                os.path.dirname(path), int(step), abstract, tag
+            )
+            return state.params
+
+        return cls(
+            config,
+            load(generator_path, "speechsplit"),
+            load(f0_converter_path, "f0_converter"),
+            **kwargs,
+        )
+
+    # ------------------------------------------------------------------
+    def extract_utterance(
+        self,
+        wav: np.ndarray,
+        spk_emb: np.ndarray,
+        gender: str = "M",
+        name: str = "",
+        uid: str = "",
+    ) -> Utterance:
+        """wav [N] float32 -> prepared (mel, F0) Utterance.
+
+        Truncates to ``max_len_pad`` frames (the model geometry limit —
+        longer audio should be converted in windows).
+        """
+        cfg = self.config
+        lo, hi = GENDER_F0_RANGE[gender]
+        batch, lengths = pad_batch([wav])
+        self._key, sub = jax.random.split(self._key)
+        mel, f0 = extract_features(
+            batch,
+            lengths,
+            np.full(1, lo, np.float32),
+            np.full(1, hi, np.float32),
+            sub,
+            sample_rate=cfg.sample_rate,
+            n_fft=cfg.fft_length,
+            hop=cfg.hop_length,
+            n_mels=cfg.dim_freq,
+            fmin=cfg.mel_fmin,
+            fmax=cfg.mel_fmax,
+        )
+        t = min(frame_count(len(wav), cfg.hop_length), cfg.max_len_pad)
+        return prepare_utterance(
+            cfg,
+            np.asarray(mel)[0, :t],
+            np.asarray(f0)[0, :t],
+            spk_emb,
+            name=name,
+            uid=uid,
+        )
+
+    def convert_utterances(
+        self,
+        src: Utterance,
+        trg: Utterance,
+        conditions: Sequence[str] = CONDITIONS,
+    ) -> List[Tuple[str, np.ndarray]]:
+        return convert_batched(
+            self.g_module, self.g_params,
+            self.p_module, self.p_params,
+            [(src, trg)], conditions,
+        )[0]
+
+    def convert_wav_files(
+        self,
+        src_path: str,
+        trg_path: str,
+        *,
+        src_gender: str = "M",
+        trg_gender: str = "F",
+        src_emb: Optional[np.ndarray] = None,
+        trg_emb: Optional[np.ndarray] = None,
+        conditions: Sequence[str] = CONDITIONS,
+        synthesize: bool = True,
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """Full wav->wav conversion between two utterance files.
+
+        Returns {condition: {"mel": [T,80], "wav": [N]}} (wav only when
+        ``synthesize``).
+        """
+        from speechsplit_tpu.data.prepare import read_wav
+
+        cfg = self.config
+        dim = cfg.dim_spk_emb
+        if src_emb is None:
+            src_emb = np.eye(dim, dtype=np.float32)[1]
+        if trg_emb is None:
+            trg_emb = np.eye(dim, dtype=np.float32)[7]
+
+        src = self.extract_utterance(
+            read_wav(src_path, cfg.sample_rate), src_emb, src_gender,
+            name=os.path.basename(src_path), uid="0",
+        )
+        trg = self.extract_utterance(
+            read_wav(trg_path, cfg.sample_rate), trg_emb, trg_gender,
+            name=os.path.basename(trg_path), uid="0",
+        )
+        out: Dict[str, Dict[str, np.ndarray]] = {}
+        for name, mel in self.convert_utterances(src, trg, conditions):
+            condition = name.split("_")[-1]
+            entry = {"mel": mel}
+            if synthesize:
+                entry["wav"] = self.vocoder(mel)
+            out[condition] = entry
+        return out
