@@ -1,0 +1,219 @@
+"""Benchmark suite for the three BASELINE.json metrics.
+
+  1. train steps/s          (Generator_3 training, batch 16, T=192)
+  2. preprocessing mel-frames/s  (wav -> mel + F0, batched on device)
+  3. conversion utterances/s     (7-condition batched conversion)
+
+Timing methodology: on this environment's tunneled TPU,
+``block_until_ready`` does not synchronize and the tunnel adds ~35 ms
+per host round trip, so every measurement chains value-dependent device
+calls and fences once with a scalar host fetch; overhead is amortized
+over long chains.
+
+``python -m benchmarks.suite`` prints a JSON dict of all metrics; the
+repo-root ``bench.py`` wraps the primary metric in the driver's
+single-line format.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 1.0
+    )
+    return jax
+
+
+def bench_train(n_meas: int = 300) -> float:
+    jax = setup_jax()
+    from speechsplit_tpu.config import SpeechSplitConfig
+    from speechsplit_tpu.data.collator import Batch
+    from speechsplit_tpu.training.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    config = SpeechSplitConfig()
+    module, state = create_train_state(config, jax.random.PRNGKey(0))
+    step = make_train_step(config, module)
+
+    rng = np.random.RandomState(0)
+    b, t = config.batch_size, config.max_len_pad
+    batch = Batch(
+        mel=rng.rand(b, t, config.dim_freq).astype(np.float32),
+        spk_emb=np.eye(b, config.dim_spk_emb, dtype=np.float32),
+        f0=rng.rand(b, t, 1).astype(np.float32),
+        len_org=rng.randint(
+            config.min_len_seq, config.max_len_seq + 1, b
+        ).astype(np.int32),
+    )
+    batch = jax.tree.map(jax.device_put, batch)
+    key = jax.random.PRNGKey(1)
+
+    for _ in range(5):
+        state, loss = step(state, batch, key)
+    _ = float(loss)
+    start = time.perf_counter()
+    for _ in range(n_meas):
+        state, loss = step(state, batch, key)
+    _ = float(loss)
+    elapsed = time.perf_counter() - start
+    log(f"train: {n_meas} steps in {elapsed:.3f}s")
+    return n_meas / elapsed
+
+
+def bench_preprocess(n_meas: int = 30) -> float:
+    """mel-frames/s through the fused wav->features pipeline."""
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from speechsplit_tpu.preprocess import extract_features
+
+    rng = np.random.RandomState(0)
+    b, n = 16, 4 * 16000  # sixteen 4-second utterances per batch
+    wavs = jnp.asarray(rng.randn(b, n).astype(np.float32) * 0.3)
+    lengths = jnp.full((b,), n, jnp.int32)
+    lo = jnp.full((b,), 50.0, jnp.float32)
+    hi = jnp.full((b,), 600.0, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    mel, f0 = extract_features(wavs, lengths, lo, hi, key)
+    _ = float(mel[0, 0, 0])
+    frames_per_call = b * (n // 256 + 1)
+
+    start = time.perf_counter()
+    chained = wavs
+    for i in range(n_meas):
+        mel, f0 = extract_features(chained, lengths, lo, hi, key)
+        # fold a scalar of the output back into the input to chain
+        chained = wavs + mel[0, 0, 0] * 1e-12
+    _ = float(mel[0, 0, 0])
+    elapsed = time.perf_counter() - start
+    rate = n_meas * frames_per_call / elapsed
+    log(
+        f"preprocess: {n_meas} batches x {frames_per_call} frames "
+        f"in {elapsed:.3f}s"
+    )
+    return rate
+
+
+def bench_reference_preprocess_cpu(n_files: int = 4) -> float | None:
+    """Host-side reference-style preprocessing: scipy filtfilt + numpy
+    STFT/mel + the native C++ pitch tracker as the RAPT stand-in
+    (pysptk is not installed; RAPT itself would be slower than our
+    tracker, so this over-estimates the baseline)."""
+    try:
+        from scipy import signal as sp_signal
+
+        from speechsplit_tpu.ops import pitch_native
+        from speechsplit_tpu.ops.filters import butter_highpass
+        from speechsplit_tpu.ops.stft import mel_filterbank
+
+        if not pitch_native.available():
+            return None
+    except Exception as exc:
+        log(f"reference preprocess baseline unavailable: {exc}")
+        return None
+
+    rng = np.random.RandomState(0)
+    n = 4 * 16000
+    b, a = butter_highpass(30, 16000)
+    basis = mel_filterbank()
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(1024) / 1024)
+
+    start = time.perf_counter()
+    frames_done = 0
+    for i in range(n_files):
+        x = rng.randn(n).astype(np.float64) * 0.3
+        y = sp_signal.filtfilt(b, a, x)
+        wav = y * 0.96 + (rng.rand(n) - 0.5) * 1e-6
+        xp = np.pad(wav, 512, mode="reflect")
+        n_frames = (len(xp) - 768) // 256
+        mags = np.empty((n_frames, 513))
+        for m in range(n_frames):
+            seg = xp[m * 256 : m * 256 + 1024] * win
+            mags[m] = np.abs(np.fft.rfft(seg))
+        mel = mags @ basis
+        db = 20 * np.log10(np.maximum(1e-5, mel)) - 16
+        _ = (db + 100) / 100
+        _ = pitch_native.track_pitch_native(wav.astype(np.float32))
+        frames_done += n_frames
+    elapsed = time.perf_counter() - start
+    log(f"reference-style preprocess: {frames_done} frames in {elapsed:.3f}s")
+    return frames_done / elapsed
+
+
+def bench_conversion(n_meas: int = 30, n_pairs: int = 8) -> float:
+    """utterances/s through the 7-condition batched converter."""
+    jax = setup_jax()
+    from speechsplit_tpu.config import SpeechSplitConfig
+    from speechsplit_tpu.convert import convert_batched, prepare_utterance
+    from speechsplit_tpu.training.train_step import create_train_state
+
+    config = SpeechSplitConfig()
+    g_module, g_state = create_train_state(config, jax.random.PRNGKey(0))
+    p_module, p_state = create_train_state(
+        config, jax.random.PRNGKey(1), "f0_converter"
+    )
+    rng = np.random.RandomState(0)
+
+    def utt(name, uid, length):
+        mel = rng.rand(length, 80).astype(np.float32)
+        f0 = rng.rand(length).astype(np.float32)
+        emb = np.zeros(82, np.float32)
+        emb[rng.randint(0, 82)] = 1.0
+        return prepare_utterance(config, mel, f0, emb, name=name, uid=uid)
+
+    pairs = [
+        (utt(f"s{i}", "u", 150), utt(f"t{i}", "v", 150))
+        for i in range(n_pairs)
+    ]
+    out = convert_batched(
+        g_module, g_state.params, p_module, p_state.params, pairs
+    )
+    start = time.perf_counter()
+    for _ in range(n_meas):
+        out = convert_batched(
+            g_module, g_state.params, p_module, p_state.params, pairs
+        )
+    elapsed = time.perf_counter() - start
+    # convert_batched materializes outputs with np.asarray (host fetch),
+    # so each iteration is already fenced.
+    utts = n_meas * n_pairs * 7
+    log(f"conversion: {utts} conversions in {elapsed:.3f}s")
+    return utts / elapsed
+
+
+def run_all() -> dict:
+    results = {
+        "train_steps_per_sec": round(bench_train(), 3),
+        "preprocess_mel_frames_per_sec": round(bench_preprocess(), 1),
+        "conversion_utterances_per_sec": round(bench_conversion(), 2),
+    }
+    ref_pre = bench_reference_preprocess_cpu()
+    if ref_pre:
+        results["reference_preprocess_frames_per_sec_cpu"] = round(
+            ref_pre, 1
+        )
+        results["preprocess_vs_reference"] = round(
+            results["preprocess_mel_frames_per_sec"] / ref_pre, 2
+        )
+    return results
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_all(), indent=2))

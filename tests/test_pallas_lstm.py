@@ -82,6 +82,31 @@ def test_gradients_match_scan():
 def test_supported_predicate():
     assert pallas_lstm.supported(8, 128)
     assert pallas_lstm.supported(16, 512)
+    assert pallas_lstm.supported(16, 8)    # bottleneck widths OK on TPU
     assert not pallas_lstm.supported(4, 512)   # batch too small
-    assert not pallas_lstm.supported(16, 8)    # bottleneck LSTM
-    assert not pallas_lstm.supported(16, 96)   # not lane-aligned
+
+
+@pytest.mark.parametrize("hidden", [8, 32])
+def test_small_width_forward_matches_scan(hidden):
+    rng = np.random.RandomState(3)
+    x_proj = jnp.asarray(
+        rng.randn(T, B, 4 * hidden).astype(np.float32) * 0.4
+    )
+    w_hh = jnp.asarray(
+        rng.randn(hidden, 4 * hidden).astype(np.float32) * 0.1
+    )
+
+    def scan(xp, w):
+        def cell(carry, xt):
+            h, c = carry
+            g = xt + h @ w
+            i, f, gg, o = jnp.split(g, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(gg)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        init = (jnp.zeros((B, hidden)), jnp.zeros((B, hidden)))
+        return jax.lax.scan(cell, init, xp)[1]
+
+    got = np.asarray(pallas_lstm.lstm_sequence(x_proj, w_hh))
+    np.testing.assert_allclose(got, np.asarray(scan(x_proj, w_hh)), atol=1e-5)
