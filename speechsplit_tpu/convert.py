@@ -179,6 +179,95 @@ def convert_batched(
     return results
 
 
+def convert_long(
+    config: SpeechSplitConfig,
+    g_module: SpeechSplit,
+    g_params,
+    p_module: F0Converter,
+    p_params,
+    src_mel: np.ndarray,
+    src_f0: np.ndarray,
+    src_emb: np.ndarray,
+    trg_mel: np.ndarray,
+    trg_f0: np.ndarray,
+    trg_emb: np.ndarray,
+    condition: str = "RFU",
+    overlap: int = 24,
+) -> np.ndarray:
+    """Convert utterances longer than the model's 192-frame geometry.
+
+    The reference caps conversion at ``max_len_pad`` frames (~3 s);
+    demo.ipynb simply pads/truncates. Here long inputs are processed in
+    overlapping windows: source and target are windowed at proportional
+    positions (so rhythm windows correspond), every window pair runs
+    through the batched converter in ONE device call, and outputs are
+    linearly cross-faded on the overlap. Window seams are smooth in mel
+    space; prosody across a seam is locally (not globally) conditioned —
+    an inherent property of windowed conversion, documented here rather
+    than hidden.
+
+    Returns the converted mel on the rhythm-source timeline
+    ([len(trg)] if 'R' in condition else [len(src)], 80).
+    """
+    win = config.max_len_pad
+    out_len = len(trg_mel) if "R" in condition else len(src_mel)
+    drive_len = out_len
+    if drive_len <= win:
+        src_u = prepare_utterance(config, src_mel[:win], src_f0[:win], src_emb)
+        trg_u = prepare_utterance(config, trg_mel[:win], trg_f0[:win], trg_emb)
+        return convert_batched(
+            g_module, g_params, p_module, p_params,
+            [(src_u, trg_u)], (condition,),
+        )[0][0][1]
+
+    step = win - overlap
+    n_windows = max(1, -(-(drive_len - overlap) // step))
+    pairs = []
+    spans = []
+    for i in range(n_windows):
+        start = min(i * step, drive_len - win)
+        # proportional positions on each timeline
+        def window(mel, f0):
+            length = len(mel)
+            if length <= win:
+                return mel, f0, 0, length
+            w_start = int(round(start / drive_len * (length - win)))
+            return (
+                mel[w_start : w_start + win],
+                f0[w_start : w_start + win],
+                w_start,
+                win,
+            )
+
+        s_mel, s_f0, _, _ = window(src_mel, src_f0)
+        t_mel, t_f0, _, _ = window(trg_mel, trg_f0)
+        pairs.append(
+            (
+                prepare_utterance(config, s_mel, s_f0, src_emb),
+                prepare_utterance(config, t_mel, t_f0, trg_emb),
+            )
+        )
+        spans.append(start)
+
+    results = convert_batched(
+        g_module, g_params, p_module, p_params, pairs, (condition,)
+    )
+
+    out = np.zeros((drive_len, config.dim_freq), np.float32)
+    weight = np.zeros((drive_len, 1), np.float32)
+    fade = np.linspace(0.0, 1.0, overlap, dtype=np.float32)[:, None]
+    for wi, (start, res) in enumerate(zip(spans, results)):
+        mel = res[0][1]
+        w = np.ones((len(mel), 1), np.float32)
+        if overlap > 0 and wi > 0:
+            w[:overlap] = fade          # fade in (has a predecessor)
+        if overlap > 0 and wi < len(spans) - 1:
+            w[-overlap:] = fade[::-1]   # fade out (has a successor)
+        out[start : start + len(mel)] += mel * w
+        weight[start : start + len(mel)] += w
+    return out / np.maximum(weight, 1e-6)
+
+
 def load_demo_metadata(path: str) -> list:
     """Load a demo.pkl-style validation bundle
     (entries: [spk_name, spk_emb(1,82), (mel, f0, len, uid)])."""
