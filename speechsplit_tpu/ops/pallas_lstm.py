@@ -139,8 +139,8 @@ def _fwd(x_proj: Array, w_hh: Array) -> Tuple[Array, Array, Array]:
 
 
 def _bwd_kernel(
-    dh_out_ref, gates_ref, c_ref, cprev_ref, hprev_ref, whh_ref,
-    dxp_ref, dwhh_ref, dh_st, dc_st,
+    dh_out_ref, gates_ref, c_ref, cprev_ref, whh_ref,
+    dxp_ref, dh_st, dc_st,
 ):
     t = pl.program_id(0)
 
@@ -148,7 +148,6 @@ def _bwd_kernel(
     def _():
         dh_st[:] = jnp.zeros_like(dh_st)
         dc_st[:] = jnp.zeros_like(dc_st)
-        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
 
     i, f, g, o = jnp.split(gates_ref[0], 4, axis=-1)
     c = c_ref[0]
@@ -169,12 +168,9 @@ def _bwd_kernel(
         axis=-1,
     )
     dxp_ref[0] = d_pre
-    # dW_hh += h_prev^T @ d_pre  ([H,B]x[B,4H])
-    dwhh_ref[:] += jax.lax.dot_general(
-        hprev_ref[0], d_pre, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # carry to step t-1
+    # carry to step t-1  (dW_hh is NOT accumulated here: one big
+    # [H, T*B] @ [T*B, 4H] matmul outside the kernel beats 192 skinny
+    # [H, B] @ [B, 4H] accumulations on the MXU)
     dh_st[:] = jax.lax.dot_general(
         d_pre, whh_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -183,7 +179,7 @@ def _bwd_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _bwd_call(dh_out, gates, c, c_prev, h_prev, w_hh):
+def _bwd_call(dh_out, gates, c, c_prev, w_hh):
     t, b, four_h = gates.shape
     h_dim = four_h // 4
     rev = lambda i: (t - 1 - i, 0, 0)  # walk time backwards
@@ -195,29 +191,21 @@ def _bwd_call(dh_out, gates, c, c_prev, h_prev, w_hh):
             pl.BlockSpec((1, b, four_h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (h_dim, four_h), lambda i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=[
-            pl.BlockSpec((1, b, four_h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (h_dim, four_h), lambda i: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
-            jax.ShapeDtypeStruct((h_dim, four_h), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec(
+            (1, b, four_h), rev, memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((b, h_dim), jnp.float32),
             pltpu.VMEM((b, h_dim), jnp.float32),
         ],
         interpret=FORCE_INTERPRET,
-    )(dh_out, gates, c, c_prev, h_prev, w_hh)
+    )(dh_out, gates, c, c_prev, w_hh)
 
 
 # ------------------------------------------------------------ public op
@@ -241,9 +229,18 @@ def _vjp_fwd(x_proj, w_hh):
 
 def _vjp_bwd(residuals, dh_out):
     gates, c, h, w_hh = residuals
+    t, b, four_h = gates.shape
+    h_dim = four_h // 4
     c_prev = jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]], axis=0)
     h_prev = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]], axis=0)
-    dxp, dwhh = _bwd_call(dh_out, gates, c, c_prev, h_prev, w_hh)
+    dxp = _bwd_call(dh_out, gates, c, c_prev, w_hh)
+    # dW_hh = sum_t h_prev[t]^T @ dxp[t] as one large contraction
+    dwhh = jax.lax.dot_general(
+        h_prev.reshape(t * b, h_dim),
+        dxp.reshape(t * b, four_h),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     return dxp, dwhh
 
 
