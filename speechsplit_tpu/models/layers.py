@@ -232,33 +232,71 @@ class LSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from speechsplit_tpu.ops import pallas_lstm
+
         h = self.hidden_size
         k = 1.0 / math.sqrt(h)
+        batch = x.shape[0]
+
+        def make_params(sfx: str, in_features: int):
+            w_ih = self.param(
+                f"w_ih_{sfx}", uniform_fan(k), (in_features, 4 * h)
+            )
+            w_hh = self.param(f"w_hh_{sfx}", uniform_fan(k), (h, 4 * h))
+            b_ih = self.param(f"b_ih_{sfx}", uniform_fan(k), (4 * h,))
+            b_hh = self.param(f"b_hh_{sfx}", uniform_fan(k), (4 * h,))
+            return w_ih, w_hh, b_ih + b_hh
+
+        def project(inputs, w_ih, bias):
+            return (
+                jnp.dot(
+                    inputs.astype(self.dtype),
+                    w_ih.astype(self.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + bias
+            )
+
+        use_pallas = self.dtype == jnp.float32 and pallas_lstm.supported(
+            batch, h
+        )
         for layer in range(self.num_layers):
-            outs = []
-            directions = (False, True) if self.bidirectional else (False,)
-            for reverse in directions:
-                sfx = f"l{layer}" + ("_reverse" if reverse else "")
-                in_features = x.shape[-1]
-                w_ih = self.param(
-                    f"w_ih_{sfx}", uniform_fan(k), (in_features, 4 * h)
+            in_features = x.shape[-1]
+            if not self.bidirectional:
+                w_ih, w_hh, bias = make_params(f"l{layer}", in_features)
+                x = _lstm_direction(
+                    project(x, w_ih, bias), w_hh, False, self.dtype
                 )
-                w_hh = self.param(f"w_hh_{sfx}", uniform_fan(k), (h, 4 * h))
-                b_ih = self.param(f"b_ih_{sfx}", uniform_fan(k), (4 * h,))
-                b_hh = self.param(f"b_hh_{sfx}", uniform_fan(k), (4 * h,))
-                x_proj = (
-                    jnp.dot(
-                        x.astype(self.dtype),
-                        w_ih.astype(self.dtype),
-                        preferred_element_type=jnp.float32,
+                continue
+
+            p_f = make_params(f"l{layer}", in_features)
+            p_b = make_params(f"l{layer}_reverse", in_features)
+            if use_pallas:
+                # both directions advance in ONE kernel grid; the
+                # backward stream is fed (and returned) time-reversed
+                xp_f = project(x, p_f[0], p_f[2])
+                xp_b = project(jnp.flip(x, axis=1), p_b[0], p_b[2])
+                hs_f, hs_b = pallas_lstm.bilstm_sequence(
+                    jnp.swapaxes(xp_f, 0, 1),
+                    jnp.swapaxes(xp_b, 0, 1),
+                    p_f[1],
+                    p_b[1],
+                )
+                x = jnp.concatenate(
+                    [
+                        jnp.swapaxes(hs_f, 0, 1),
+                        jnp.flip(jnp.swapaxes(hs_b, 0, 1), axis=1),
+                    ],
+                    axis=-1,
+                )
+            else:
+                outs = [
+                    _lstm_direction(
+                        project(x, p[0], p[2]), p[1], reverse, self.dtype
                     )
-                    + b_ih
-                    + b_hh
-                )
-                outs.append(
-                    _lstm_direction(x_proj, w_hh, reverse, self.dtype)
-                )
-            x = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+                    for p, reverse in ((p_f, False), (p_b, True))
+                ]
+                x = jnp.concatenate(outs, axis=-1)
         return x
 
 

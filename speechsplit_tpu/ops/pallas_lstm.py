@@ -245,3 +245,205 @@ def _vjp_bwd(residuals, dh_out):
 
 
 lstm_sequence.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ------------------------------------------------- merged bidirectional
+#
+# A BiLSTM's two directions are independent recurrences of identical
+# shape. Running them as two kernel launches serializes two full grid
+# traversals; this merged kernel advances BOTH in each grid step (the
+# backward stream's inputs arrive pre-time-flipped, so in kernel time
+# both run "forward"), halving grid overhead and letting the second
+# stream's VPU work overlap the first's MXU matmul.
+
+
+def _cell(xp, w, h_st, c_st):
+    gates = xp + jnp.dot(
+        h_st, w, preferred_element_type=jnp.float32
+    )
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    c = f * c_st + i * g
+    h = o * jnp.tanh(c)
+    return h, c, jnp.concatenate([i, f, g, o], axis=-1)
+
+
+def _bd_fwd_kernel(
+    xpf_ref, xpb_ref, wf_ref, wb_ref,
+    hf_ref, hb_ref, gf_ref, gb_ref, cf_ref, cb_ref,
+    hf_st, cf_st, hb_st, cb_st,
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        for st in (hf_st, cf_st, hb_st, cb_st):
+            st[:] = jnp.zeros_like(st)
+
+    h, c, gates = _cell(xpf_ref[0], wf_ref[:], hf_st[:], cf_st[:])
+    hf_ref[0], cf_ref[0], gf_ref[0] = h, c, gates
+    hf_st[:], cf_st[:] = h, c
+
+    h, c, gates = _cell(xpb_ref[0], wb_ref[:], hb_st[:], cb_st[:])
+    hb_ref[0], cb_ref[0], gb_ref[0] = h, c, gates
+    hb_st[:], cb_st[:] = h, c
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _bd_fwd(xp_f, xp_b, w_f, w_b):
+    t, b, four_h = xp_f.shape
+    h_dim = four_h // 4
+    seq = lambda i: (i, 0, 0)
+    full = lambda i: (0, 0)
+    blk_x = pl.BlockSpec((1, b, four_h), seq, memory_space=pltpu.VMEM)
+    blk_h = pl.BlockSpec((1, b, h_dim), seq, memory_space=pltpu.VMEM)
+    blk_w = pl.BlockSpec((h_dim, four_h), full, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bd_fwd_kernel,
+        grid=(t,),
+        in_specs=[blk_x, blk_x, blk_w, blk_w],
+        out_specs=[blk_h, blk_h, blk_x, blk_x, blk_h, blk_h],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
+        ],
+        interpret=FORCE_INTERPRET,
+    )(xp_f, xp_b, w_f, w_b)
+
+
+def _cell_bwd(dh_out, g_all, c, c_prev, w, dh_st, dc_st):
+    i, f, g, o = jnp.split(g_all, 4, axis=-1)
+    tanh_c = jnp.tanh(c)
+    dh = dh_out + dh_st
+    do = dh * tanh_c
+    dc = dc_st + dh * o * (1.0 - tanh_c * tanh_c)
+    di = dc * g
+    df = dc * c_prev
+    dg = dc * i
+    d_pre = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=-1,
+    )
+    new_dh = jax.lax.dot_general(
+        d_pre, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return d_pre, new_dh, dc * f
+
+
+def _bd_bwd_kernel(
+    dhf_ref, dhb_ref, gf_ref, gb_ref, cf_ref, cb_ref,
+    cpf_ref, cpb_ref, wf_ref, wb_ref,
+    dxf_ref, dxb_ref,
+    dhf_st, dcf_st, dhb_st, dcb_st,
+):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        for st in (dhf_st, dcf_st, dhb_st, dcb_st):
+            st[:] = jnp.zeros_like(st)
+
+    d_pre, dh, dc = _cell_bwd(
+        dhf_ref[0], gf_ref[0], cf_ref[0], cpf_ref[0], wf_ref[:],
+        dhf_st[:], dcf_st[:],
+    )
+    dxf_ref[0] = d_pre
+    dhf_st[:], dcf_st[:] = dh, dc
+
+    d_pre, dh, dc = _cell_bwd(
+        dhb_ref[0], gb_ref[0], cb_ref[0], cpb_ref[0], wb_ref[:],
+        dhb_st[:], dcb_st[:],
+    )
+    dxb_ref[0] = d_pre
+    dhb_st[:], dcb_st[:] = dh, dc
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, cp_f, cp_b, w_f, w_b):
+    t, b, four_h = g_f.shape
+    h_dim = four_h // 4
+    rev = lambda i: (t - 1 - i, 0, 0)
+    full = lambda i: (0, 0)
+    blk_x = pl.BlockSpec((1, b, four_h), rev, memory_space=pltpu.VMEM)
+    blk_h = pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM)
+    blk_w = pl.BlockSpec((h_dim, four_h), full, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bd_bwd_kernel,
+        grid=(t,),
+        in_specs=[
+            blk_h, blk_h, blk_x, blk_x, blk_h, blk_h, blk_h, blk_h,
+            blk_w, blk_w,
+        ],
+        out_specs=[blk_x, blk_x],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
+        ],
+        interpret=FORCE_INTERPRET,
+    )(dh_f, dh_b, g_f, g_b, c_f, c_b, cp_f, cp_b, w_f, w_b)
+
+
+@jax.custom_vjp
+def bilstm_sequence(xp_f: Array, xp_b: Array, w_f: Array, w_b: Array):
+    """Both BiLSTM directions in one grid.
+
+    xp_f: [T, B, 4H] forward-stream projected inputs in real time order;
+    xp_b: [T, B, 4H] backward-stream projected inputs ALREADY
+    time-reversed (kernel time = its processing order). Returns
+    (h_f [T,B,H] in real time, h_b [T,B,H] in reversed time — the caller
+    flips it back).
+    """
+    h_f, h_b, *_ = _bd_fwd(xp_f, xp_b, w_f, w_b)
+    return h_f, h_b
+
+
+def _bd_vjp_fwd(xp_f, xp_b, w_f, w_b):
+    h_f, h_b, g_f, g_b, c_f, c_b = _bd_fwd(xp_f, xp_b, w_f, w_b)
+    return (h_f, h_b), (g_f, g_b, c_f, c_b, h_f, h_b, w_f, w_b)
+
+
+def _shift(x):
+    return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+
+def _bd_vjp_bwd(residuals, grads):
+    g_f, g_b, c_f, c_b, h_f, h_b, w_f, w_b = residuals
+    dh_f, dh_b = grads
+    dx_f, dx_b = _bd_bwd_call(
+        dh_f, dh_b, g_f, g_b, c_f, c_b, _shift(c_f), _shift(c_b),
+        w_f, w_b,
+    )
+    t, b, four_h = g_f.shape
+    h_dim = four_h // 4
+
+    def dw(h, dx):
+        return jax.lax.dot_general(
+            _shift(h).reshape(t * b, h_dim),
+            dx.reshape(t * b, four_h),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return dx_f, dx_b, dw(h_f, dx_f), dw(h_b, dx_b)
+
+
+bilstm_sequence.defvjp(_bd_vjp_fwd, _bd_vjp_bwd)

@@ -106,19 +106,10 @@ class VoiceConverter:
         )
 
     # ------------------------------------------------------------------
-    def extract_utterance(
-        self,
-        wav: np.ndarray,
-        spk_emb: np.ndarray,
-        gender: str = "M",
-        name: str = "",
-        uid: str = "",
-    ) -> Utterance:
-        """wav [N] float32 -> prepared (mel, F0) Utterance.
-
-        Truncates to ``max_len_pad`` frames (the model geometry limit —
-        longer audio should be converted in windows).
-        """
+    def extract_features_full(
+        self, wav: np.ndarray, gender: str = "M"
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """wav [N] float32 -> (mel [T,80], f0 [T]) at full length."""
         cfg = self.config
         lo, hi = GENDER_F0_RANGE[gender]
         batch, lengths = pad_batch([wav])
@@ -136,14 +127,28 @@ class VoiceConverter:
             fmin=cfg.mel_fmin,
             fmax=cfg.mel_fmax,
         )
-        t = min(frame_count(len(wav), cfg.hop_length), cfg.max_len_pad)
+        t = frame_count(len(wav), cfg.hop_length)
+        return np.asarray(mel)[0, :t], np.asarray(f0)[0, :t]
+
+    def extract_utterance(
+        self,
+        wav: np.ndarray,
+        spk_emb: np.ndarray,
+        gender: str = "M",
+        name: str = "",
+        uid: str = "",
+    ) -> Utterance:
+        """wav [N] float32 -> prepared (mel, F0) Utterance.
+
+        Truncates to ``max_len_pad`` frames (the model geometry limit);
+        for longer audio use :meth:`convert_wav_files`, which windows
+        automatically via ``convert_long``.
+        """
+        cfg = self.config
+        mel, f0 = self.extract_features_full(wav, gender)
+        t = min(len(mel), cfg.max_len_pad)
         return prepare_utterance(
-            cfg,
-            np.asarray(mel)[0, :t],
-            np.asarray(f0)[0, :t],
-            spk_emb,
-            name=name,
-            uid=uid,
+            cfg, mel[:t], f0[:t], spk_emb, name=name, uid=uid
         )
 
     def convert_utterances(
@@ -172,9 +177,12 @@ class VoiceConverter:
     ) -> Dict[str, Dict[str, np.ndarray]]:
         """Full wav->wav conversion between two utterance files.
 
+        Utterances longer than the model geometry (192 frames, ~3 s) are
+        converted in overlapping windows (``convert.convert_long``).
         Returns {condition: {"mel": [T,80], "wav": [N]}} (wav only when
         ``synthesize``).
         """
+        from speechsplit_tpu.convert import convert_long
         from speechsplit_tpu.data.prepare import read_wav
 
         cfg = self.config
@@ -184,17 +192,39 @@ class VoiceConverter:
         if trg_emb is None:
             trg_emb = np.eye(dim, dtype=np.float32)[7]
 
-        src = self.extract_utterance(
-            read_wav(src_path, cfg.sample_rate), src_emb, src_gender,
-            name=os.path.basename(src_path), uid="0",
+        s_mel, s_f0 = self.extract_features_full(
+            read_wav(src_path, cfg.sample_rate), src_gender
         )
-        trg = self.extract_utterance(
-            read_wav(trg_path, cfg.sample_rate), trg_emb, trg_gender,
-            name=os.path.basename(trg_path), uid="0",
+        t_mel, t_f0 = self.extract_features_full(
+            read_wav(trg_path, cfg.sample_rate), trg_gender
         )
+
         out: Dict[str, Dict[str, np.ndarray]] = {}
-        for name, mel in self.convert_utterances(src, trg, conditions):
-            condition = name.split("_")[-1]
+        if max(len(s_mel), len(t_mel)) <= cfg.max_len_pad:
+            src = prepare_utterance(
+                cfg, s_mel, s_f0, src_emb,
+                name=os.path.basename(src_path), uid="0",
+            )
+            trg = prepare_utterance(
+                cfg, t_mel, t_f0, trg_emb,
+                name=os.path.basename(trg_path), uid="0",
+            )
+            results = self.convert_utterances(src, trg, conditions)
+            named = [(n.split("_")[-1], mel) for n, mel in results]
+        else:
+            named = [
+                (
+                    condition,
+                    convert_long(
+                        cfg, self.g_module, self.g_params,
+                        self.p_module, self.p_params,
+                        s_mel, s_f0, src_emb, t_mel, t_f0, trg_emb,
+                        condition=condition,
+                    ),
+                )
+                for condition in conditions
+            ]
+        for condition, mel in named:
             entry = {"mel": mel}
             if synthesize:
                 entry["wav"] = self.vocoder(mel)

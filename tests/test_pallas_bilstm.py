@@ -1,0 +1,57 @@
+"""Merged bidirectional Pallas kernel vs per-direction scan (interpret)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speechsplit_tpu.models.layers import LSTM
+from speechsplit_tpu.ops import pallas_lstm
+
+T, B, H, I = 10, 8, 32, 16
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    pallas_lstm.FORCE_INTERPRET = True
+    yield
+    pallas_lstm.FORCE_INTERPRET = False
+
+
+def test_bilstm_layer_matches_scan_path(rng):
+    """The full LSTM module must produce identical outputs through the
+    merged-bidirectional Pallas path and the scan path."""
+    x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+    lstm = LSTM(hidden_size=H, num_layers=2, bidirectional=True)
+    params = lstm.init(jax.random.PRNGKey(0), x)
+
+    out_pallas = lstm.apply(params, x)  # FORCE_INTERPRET => pallas path
+
+    pallas_lstm.FORCE_INTERPRET = False  # supported() now False on CPU
+    out_scan = lstm.apply(params, x)
+
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_scan), atol=1e-5
+    )
+
+
+def test_bilstm_layer_gradients_match(rng):
+    x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+    lstm = LSTM(hidden_size=H, num_layers=1, bidirectional=True)
+    params = lstm.init(jax.random.PRNGKey(1), x)
+    target = jnp.asarray(rng.randn(B, T, 2 * H).astype(np.float32))
+
+    def loss(p, use_pallas):
+        pallas_lstm.FORCE_INTERPRET = use_pallas
+        try:
+            return jnp.mean(jnp.square(lstm.apply(p, x) - target))
+        finally:
+            pallas_lstm.FORCE_INTERPRET = True
+
+    g_pallas = jax.grad(lambda p: loss(p, True))(params)
+    g_scan = jax.grad(lambda p: loss(p, False))(params)
+    for a, b in zip(jax.tree.leaves(g_pallas), jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        )
