@@ -60,7 +60,9 @@ def main(argv=None) -> None:
     for d in (args.log_dir, args.model_save_dir, args.sample_dir):
         os.makedirs(d, exist_ok=True)
 
-    dataset = SpeakerDataset(config.root_dir, config.feat_dir)
+    dataset = SpeakerDataset(
+        config.root_dir, config.feat_dir, mode=config.mode
+    )
     loader = data_loader(dataset, config, seed=args.seed)
 
     devices = jax.devices()

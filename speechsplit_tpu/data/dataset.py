@@ -39,7 +39,16 @@ class SpeakerDataset:
         *,
         metadata: list | None = None,
         num_workers: int = 8,
+        mode: str = "train",
+        split: int = 0,
     ):
+        """``mode``/``split`` reproduce the reference's frame-level
+        train/test partition (data_loader.py:23,64-69): 'train' keeps
+        frames [split:] of every utterance, 'test' keeps [:split].
+        The reference default split=0 makes the test set empty — kept
+        as the documented default rather than silently changed."""
+        if mode not in ("train", "test"):
+            raise ValueError(mode)
         self.root_dir = root_dir
         self.feat_dir = feat_dir
         meta = metadata if metadata is not None else load_metadata(root_dir)
@@ -51,6 +60,10 @@ class SpeakerDataset:
                 mel = np.load(os.path.join(root_dir, rel))
                 f0 = np.load(os.path.join(feat_dir, rel))
                 assert len(mel) == len(f0), rel
+                if mode == "train":
+                    mel, f0 = mel[split:], f0[split:]
+                else:
+                    mel, f0 = mel[:split], f0[:split]
                 utts.append((mel, f0))
             return speaker, emb, utts
 
