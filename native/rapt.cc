@@ -57,22 +57,30 @@ int rapt_track(const float* x, long n, int fs, int hop,
   std::vector<float> s(span, 0.0f);
   std::memcpy(s.data(), x, std::min(n, span) * sizeof(float));
 
-  // prefix sums of s^2 for O(1) energy windows
-  std::vector<double> e(span + 1, 0.0);
-  for (long i = 0; i < span; ++i) e[i + 1] = e[i] + (double)s[i] * s[i];
+  // prefix sums of s and s^2 for O(1) window means/energies
+  std::vector<double> e(span + 1, 0.0), ps(span + 1, 0.0);
+  for (long i = 0; i < span; ++i) {
+    e[i + 1] = e[i] + (double)s[i] * s[i];
+    ps[i + 1] = ps[i] + (double)s[i];
+  }
 
-  // per-frame candidates
+  // per-frame candidates (mean-subtracted NCCF, matching ops/pitch.py:
+  // immune to DC/rumble so unfiltered input is acceptable)
   std::vector<float> cand_lag(T * K), cand_score(T * K);
   std::vector<float> nccf(n_lags);
   for (long m = 0; m < T; ++m) {
     const long st = m * hop;
-    const double e0 = e[st + W] - e[st];
+    const double s0 = ps[st + W] - ps[st];
+    const double e0 = std::max(e[st + W] - e[st] - s0 * s0 / W, 0.0);
     for (int k = kmin; k <= kmax; ++k) {
       double num = 0.0;
       const float* a = s.data() + st;
       const float* b = s.data() + st + k;
       for (int i = 0; i < W; ++i) num += (double)a[i] * b[i];
-      const double ek = e[st + k + W] - e[st + k];
+      const double sk = ps[st + k + W] - ps[st + k];
+      const double ek =
+          std::max(e[st + k + W] - e[st + k] - sk * sk / W, 0.0);
+      num -= s0 * sk / W;
       nccf[k - kmin] = (float)(num / std::sqrt(e0 * ek + 1e-12));
     }
     // local maxima, kept as a top-K selection

@@ -56,10 +56,16 @@ class PitchParams(NamedTuple):
 def _nccf(
     x: Array, n_frames: int, hop: int, window: int, kmin: int, kmax: int
 ) -> Array:
-    """NCCF for all frames at once.
+    """Mean-subtracted NCCF for all frames at once.
 
     x: [N] (zero-padded so that (n_frames-1)*hop + window + kmax <= N).
     Returns [n_frames, kmax - kmin + 1].
+
+    Window means are removed from both correlation legs (via prefix sums
+    — no extra FFT work): sum (a-ā)(b-b̄) = sum ab - W·ā·b̄. This makes
+    the tracker immune to DC/rumble, so the production preprocessing
+    path can skip the expensive time-domain high-pass entirely (the mel
+    path applies it spectrally; see preprocess.extract_features).
     """
     n_lags = kmax - kmin + 1
     span = window + kmax  # samples each frame's correlation touches
@@ -76,17 +82,27 @@ def _nccf(
     corr = jnp.fft.irfft(jnp.conj(spec_s) * spec_l, n=nfft, axis=-1)
     num = corr[:, kmin : kmax + 1]  # [T, L] sum x[n] x[n+k]
 
-    # energies via prefix sums of x^2
+    # window sums / energies via prefix sums
     energy_prefix = jnp.concatenate(
         [jnp.zeros((1,), x.dtype), jnp.cumsum(x * x)]
     )
+    sum_prefix = jnp.concatenate(
+        [jnp.zeros((1,), x.dtype), jnp.cumsum(x)]
+    )
     lags = jnp.arange(kmin, kmax + 1)[None, :]  # [1, L]
     seg_start = starts[:, None] + lags  # [T, L]
+    s_k = sum_prefix[seg_start + window] - sum_prefix[seg_start]
+    s_0 = (sum_prefix[starts + window] - sum_prefix[starts])[:, None]
     e_k = energy_prefix[seg_start + window] - energy_prefix[seg_start]
     e_0 = (
         energy_prefix[starts + window] - energy_prefix[starts]
     )[:, None]
-    return num * jax.lax.rsqrt(e_0 * e_k + 1e-12)
+
+    w = jnp.asarray(float(window), x.dtype)
+    num_c = num - s_0 * s_k / w
+    e_0c = jnp.maximum(e_0 - s_0 * s_0 / w, 0.0)
+    e_kc = jnp.maximum(e_k - s_k * s_k / w, 0.0)
+    return num_c * jax.lax.rsqrt(e_0c * e_kc + 1e-12)
 
 
 def _candidates(nccf: Array, kmin: int, params: PitchParams):

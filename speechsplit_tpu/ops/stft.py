@@ -135,16 +135,24 @@ def mel_spectrogram(
     fmin: float = 90.0,
     fmax: float = 7600.0,
     ref_level_db: float = 16.0,
+    bin_gain: Array | None = None,
 ) -> Array:
     """Full mel front-end: wav [..., N] -> normalized mel [..., T, n_mels].
 
     dB compression and [0,1] normalization follow make_spect_f0.py:58-61:
     ``S = (20*log10(max(1e-5, |STFT| @ mel)) - 16 + 100) / 100``.
+
+    ``bin_gain`` ([n_fft//2+1]) multiplies each STFT bin before the mel
+    projection — used to apply the 30 Hz zero-phase high-pass spectrally
+    at zero cost (it folds into the mel basis matmul); see
+    preprocess.extract_features.
     """
     spec = magnitude_stft(x, n_fft, hop)
     basis = jnp.asarray(
         mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
     )
+    if bin_gain is not None:
+        basis = bin_gain[:, None] * basis
     mel = jnp.dot(spec, basis, preferred_element_type=jnp.float32)
     min_level = math.exp(-100.0 / 20.0 * math.log(10.0))
     db = 20.0 * jnp.log10(jnp.maximum(min_level, mel)) - ref_level_db

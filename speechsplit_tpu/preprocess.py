@@ -38,11 +38,26 @@ Array = jax.Array
 GENDER_F0_RANGE = {"M": (50.0, 250.0), "F": (100.0, 600.0)}
 
 
+@functools.lru_cache(maxsize=8)
+def _stft_bin_gain(
+    cutoff: float, fs: float, order: int, n_fft: int
+) -> np.ndarray:
+    """|H(w)|^2 of the zero-phase high-pass at STFT bin frequencies."""
+    from scipy import signal as sp_signal
+
+    from speechsplit_tpu.ops.filters import butter_highpass
+
+    b, a = butter_highpass(cutoff, fs, order)
+    freqs = np.fft.rfftfreq(n_fft) * 2.0 * np.pi
+    _, h = sp_signal.freqz(b, a, worN=freqs)
+    return (h * np.conj(h)).real.astype(np.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sample_rate", "n_fft", "hop", "n_mels", "order",
-        "fmin", "fmax", "cutoff", "dither", "gain",
+        "fmin", "fmax", "cutoff", "dither", "gain", "highpass_mode",
     ),
 )
 def extract_features(
@@ -62,6 +77,7 @@ def extract_features(
     order: int = 5,
     dither: float = 1e-6,
     gain: float = 0.96,
+    highpass_mode: str = "stft",
 ) -> Tuple[Array, Array]:
     """One fused pass over a padded batch of waveforms.
 
@@ -72,25 +88,44 @@ def extract_features(
       dither_key: PRNG key for the dither noise (the reference seeds a
         numpy RandomState per speaker, make_spect_f0.py:47,55; here the
         caller derives one key per utterance batch).
+      highpass_mode: how the 30 Hz zero-phase high-pass is realized.
+        "stft" (production): the filter's |H|^2 multiplies STFT bins
+        before the mel projection (zero extra cost — TPU 1D FFTs are
+        slow, and the filter only acts below the 90 Hz mel floor), and
+        the pitch tracker's mean-subtracted NCCF provides the rumble
+        immunity the time-domain filter existed for. "time" (exact):
+        the frequency-domain filtfilt equivalent on the waveform
+        (~4x slower end to end; matches the reference wav-domain
+        semantics; mel outputs of the two modes agree to ~1e-4 MAE,
+        tests/test_preprocess_modes.py).
 
     Returns:
       mel: ``[B, T, n_mels]`` normalized to [0, 1] (frames past each
         utterance's end are garbage — mask with ``frame_count``).
-      f0_norm: ``[B, T]`` speaker-normalized log-F0 in [0, 1], with 0 at
-        unvoiced frames... actually the reference keeps the raw -1e10
-        sentinel at unvoiced frames after normalization (utils.py:35-42
-        touches voiced entries only); so do we.
+      f0_norm: ``[B, T]`` speaker-normalized log-F0 in [0, 1], with the
+        raw -1e10 sentinel kept at unvoiced frames (the reference's
+        normalization touches voiced entries only, utils.py:35-42).
     """
     batch, _ = wavs.shape
 
-    # high-pass + gain + dither (make_spect_f0.py:54-55)
-    y = zero_phase_highpass(
-        wavs, lengths, cutoff=cutoff, fs=float(sample_rate), order=order
-    )
+    # gain + dither (make_spect_f0.py:55); high-pass per mode
     noise = (
         jax.random.uniform(dither_key, wavs.shape) - 0.5
     ) * 2.0 * dither
-    y = y * gain + noise
+    if highpass_mode == "time":
+        y = zero_phase_highpass(
+            wavs, lengths, cutoff=cutoff, fs=float(sample_rate),
+            order=order,
+        )
+        y = y * gain + noise
+        bin_gain = None
+    elif highpass_mode == "stft":
+        y = wavs * gain + noise
+        bin_gain = jnp.asarray(
+            _stft_bin_gain(cutoff, float(sample_rate), order, n_fft)
+        )
+    else:
+        raise ValueError(highpass_mode)
 
     mel = mel_spectrogram(
         y,
@@ -100,6 +135,7 @@ def extract_features(
         n_mels=n_mels,
         fmin=fmin,
         fmax=fmax,
+        bin_gain=bin_gain,
     )
 
     logf0 = track_pitch(
