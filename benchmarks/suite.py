@@ -111,7 +111,7 @@ def bench_preprocess(n_meas: int = 30) -> float:
     return rate
 
 
-def bench_reference_preprocess_cpu(n_files: int = 4) -> float | None:
+def bench_reference_preprocess_cpu(n_files: int = 8) -> float | None:
     """Host-side reference-style preprocessing: scipy filtfilt + numpy
     STFT/mel + the native C++ pitch tracker as the RAPT stand-in
     (pysptk is not installed; RAPT itself would be slower than our
@@ -135,26 +135,33 @@ def bench_reference_preprocess_cpu(n_files: int = 4) -> float | None:
     basis = mel_filterbank()
     win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(1024) / 1024)
 
-    start = time.perf_counter()
-    frames_done = 0
-    for i in range(n_files):
-        x = rng.randn(n).astype(np.float64) * 0.3
-        y = sp_signal.filtfilt(b, a, x)
-        wav = y * 0.96 + (rng.rand(n) - 0.5) * 1e-6
-        xp = np.pad(wav, 512, mode="reflect")
-        n_frames = (len(xp) - 768) // 256
-        mags = np.empty((n_frames, 513))
-        for m in range(n_frames):
-            seg = xp[m * 256 : m * 256 + 1024] * win
-            mags[m] = np.abs(np.fft.rfft(seg))
-        mel = mags @ basis
-        db = 20 * np.log10(np.maximum(1e-5, mel)) - 16
-        _ = (db + 100) / 100
-        _ = pitch_native.track_pitch_native(wav.astype(np.float32))
-        frames_done += n_frames
-    elapsed = time.perf_counter() - start
-    log(f"reference-style preprocess: {frames_done} frames in {elapsed:.3f}s")
-    return frames_done / elapsed
+    def one_pass():
+        start = time.perf_counter()
+        frames_done = 0
+        for i in range(n_files):
+            x = rng.randn(n).astype(np.float64) * 0.3
+            y = sp_signal.filtfilt(b, a, x)
+            wav = y * 0.96 + (rng.rand(n) - 0.5) * 1e-6
+            xp = np.pad(wav, 512, mode="reflect")
+            n_frames = (len(xp) - 768) // 256
+            mags = np.empty((n_frames, 513))
+            for m in range(n_frames):
+                seg = xp[m * 256 : m * 256 + 1024] * win
+                mags[m] = np.abs(np.fft.rfft(seg))
+            mel = mags @ basis
+            db = 20 * np.log10(np.maximum(1e-5, mel)) - 16
+            _ = (db + 100) / 100
+            _ = pitch_native.track_pitch_native(wav.astype(np.float32))
+            frames_done += n_frames
+        return frames_done, time.perf_counter() - start
+
+    # two passes; report the baseline's BEST run (conservative for our
+    # speedup ratio — host timing is noisy under background load)
+    f1, t1 = one_pass()
+    f2, t2 = one_pass()
+    rate = max(f1 / t1, f2 / t2)
+    log(f"reference-style preprocess: best of 2 -> {rate:.1f} frames/s")
+    return rate
 
 
 def bench_conversion(n_meas: int = 30, n_pairs: int = 8) -> float:

@@ -89,6 +89,55 @@ def _fwd_kernel(xp_ref, whh_ref, h_ref, gates_ref, c_ref, h_st, c_st):
     c_st[:] = c
 
 
+def _infer_kernel(xp_ref, whh_ref, h_ref, h_st, c_st):
+    """Lean forward: no residual outputs (inference path)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_st[:] = jnp.zeros_like(h_st)
+        c_st[:] = jnp.zeros_like(c_st)
+
+    gates = xp_ref[0] + jnp.dot(
+        h_st[:], whh_ref[:], preferred_element_type=jnp.float32
+    )
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c_st[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h = jax.nn.sigmoid(o) * jnp.tanh(c)
+    h_ref[0] = h
+    h_st[:] = h
+    c_st[:] = c
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _infer(x_proj: Array, w_hh: Array) -> Array:
+    t, b, four_h = x_proj.shape
+    h_dim = four_h // 4
+    return pl.pallas_call(
+        _infer_kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, b, four_h), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (h_dim, four_h), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, b, h_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((b, h_dim), jnp.float32),
+            pltpu.VMEM((b, h_dim), jnp.float32),
+        ],
+        interpret=FORCE_INTERPRET,
+    )(x_proj, w_hh)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _fwd(x_proj: Array, w_hh: Array) -> Tuple[Array, Array, Array]:
     """x_proj: [T, B, 4H] (pre-projected inputs incl. biases), w_hh [H, 4H].
@@ -217,9 +266,10 @@ def lstm_sequence(x_proj: Array, w_hh: Array) -> Array:
 
     Gate layout i, f, g, o (torch-compatible, matching models/layers.py).
     Zero initial state. Differentiable (custom VJP, Pallas both ways).
+    Undifferentiated (inference) calls run a lean kernel with no
+    residual outputs; under jax.grad the vjp-fwd kernel saves residuals.
     """
-    h, _, _ = _fwd(x_proj, w_hh)
-    return h
+    return _infer(x_proj, w_hh)
 
 
 def _vjp_fwd(x_proj, w_hh):
@@ -321,6 +371,51 @@ def _bd_fwd(xp_f, xp_b, w_f, w_b):
     )(xp_f, xp_b, w_f, w_b)
 
 
+def _bd_infer_kernel(
+    xpf_ref, xpb_ref, wf_ref, wb_ref, hf_ref, hb_ref,
+    hf_st, cf_st, hb_st, cb_st,
+):
+    """Lean merged-bidirectional forward (inference path)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        for st in (hf_st, cf_st, hb_st, cb_st):
+            st[:] = jnp.zeros_like(st)
+
+    h, c, _ = _cell(xpf_ref[0], wf_ref[:], hf_st[:], cf_st[:])
+    hf_ref[0] = h
+    hf_st[:], cf_st[:] = h, c
+    h, c, _ = _cell(xpb_ref[0], wb_ref[:], hb_st[:], cb_st[:])
+    hb_ref[0] = h
+    hb_st[:], cb_st[:] = h, c
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _bd_infer(xp_f, xp_b, w_f, w_b):
+    t, b, four_h = xp_f.shape
+    h_dim = four_h // 4
+    seq = lambda i: (i, 0, 0)
+    full = lambda i: (0, 0)
+    blk_x = pl.BlockSpec((1, b, four_h), seq, memory_space=pltpu.VMEM)
+    blk_h = pl.BlockSpec((1, b, h_dim), seq, memory_space=pltpu.VMEM)
+    blk_w = pl.BlockSpec((h_dim, four_h), full, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _bd_infer_kernel,
+        grid=(t,),
+        in_specs=[blk_x, blk_x, blk_w, blk_w],
+        out_specs=[blk_h, blk_h],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
+        ],
+        interpret=FORCE_INTERPRET,
+    )(xp_f, xp_b, w_f, w_b)
+
+
 def _cell_bwd(dh_out, g_all, c, c_prev, w, dh_st, dc_st):
     i, f, g, o = jnp.split(g_all, 4, axis=-1)
     tanh_c = jnp.tanh(c)
@@ -410,10 +505,10 @@ def bilstm_sequence(xp_f: Array, xp_b: Array, w_f: Array, w_b: Array):
     xp_b: [T, B, 4H] backward-stream projected inputs ALREADY
     time-reversed (kernel time = its processing order). Returns
     (h_f [T,B,H] in real time, h_b [T,B,H] in reversed time — the caller
-    flips it back).
+    flips it back). Undifferentiated calls run a lean kernel without
+    residual outputs.
     """
-    h_f, h_b, *_ = _bd_fwd(xp_f, xp_b, w_f, w_b)
-    return h_f, h_b
+    return _bd_infer(xp_f, xp_b, w_f, w_b)
 
 
 def _bd_vjp_fwd(xp_f, xp_b, w_f, w_b):
