@@ -23,4 +23,25 @@ from speechsplit_tpu.config import SpeechSplitConfig, default_config
 
 __version__ = "0.1.0"
 
-__all__ = ["SpeechSplitConfig", "default_config", "__version__"]
+
+def __getattr__(name):
+    # lazy top-level conveniences (keep bare import light / jax-free)
+    if name == "VoiceConverter":
+        from speechsplit_tpu.pipeline import VoiceConverter
+
+        return VoiceConverter
+    if name in ("SpeechSplit", "F0Converter"):
+        import speechsplit_tpu.models as models
+
+        return getattr(models, name)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "SpeechSplitConfig",
+    "default_config",
+    "VoiceConverter",
+    "SpeechSplit",
+    "F0Converter",
+    "__version__",
+]
