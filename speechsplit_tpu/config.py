@@ -82,6 +82,10 @@ class SpeechSplitConfig:
 
     # --- TPU-native knobs (no reference counterpart) -----------------------
     compute_dtype: str = "float32"   # "float32" | "bfloat16" matmul inputs
+    # "default": single-pass bf16 multiply on the MXU (fast path);
+    # "highest": full f32 multiplies (~2x recurrence cost, strict
+    # numerics — see PARITY.md #7)
+    matmul_precision: str = "default"
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
 

@@ -42,6 +42,14 @@ Array = jax.Array
 # Tests flip this to exercise the kernels on CPU via the interpreter.
 FORCE_INTERPRET = False
 
+# dtype for the saved backward residuals (gates/c). bfloat16 halves the
+# residual HBM traffic at <=2% max-relative gradient error, but measured
+# only ~1% step-time gain (8.21 -> 8.11 ms at reference geometry) — the
+# step is not residual-bandwidth-bound in practice — so the default
+# keeps gradients bit-identical to the scan path. Flip to jnp.bfloat16
+# to trade exactness for the last percent.
+RESIDUAL_DTYPE = jnp.float32
+
 
 def supported(batch: int, hidden: int) -> bool:
     """Can (and should) the Pallas path run for these dims on this backend?
@@ -82,8 +90,10 @@ def _fwd_kernel(xp_ref, whh_ref, h_ref, gates_ref, c_ref, h_st, c_st):
     c = f * c_st[:] + i * g
     h = o * jnp.tanh(c)
 
-    gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1)
-    c_ref[0] = c
+    gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1).astype(
+        gates_ref.dtype
+    )
+    c_ref[0] = c.astype(c_ref.dtype)
     h_ref[0] = h
     h_st[:] = h
     c_st[:] = c
@@ -138,8 +148,10 @@ def _infer(x_proj: Array, w_hh: Array) -> Array:
     )(x_proj, w_hh)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _fwd(x_proj: Array, w_hh: Array) -> Tuple[Array, Array, Array]:
+@functools.partial(jax.jit, static_argnames=("residual_dtype",))
+def _fwd(
+    x_proj: Array, w_hh: Array, residual_dtype=jnp.float32
+) -> Tuple[Array, Array, Array]:
     """x_proj: [T, B, 4H] (pre-projected inputs incl. biases), w_hh [H, 4H].
     Returns (h [T,B,H], gates [T,B,4H], c [T,B,H])."""
     t, b, four_h = x_proj.shape
@@ -173,8 +185,8 @@ def _fwd(x_proj: Array, w_hh: Array) -> Tuple[Array, Array, Array]:
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, four_h), residual_dtype),
+            jax.ShapeDtypeStruct((t, b, h_dim), residual_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, h_dim), jnp.float32),
@@ -198,14 +210,16 @@ def _bwd_kernel(
         dh_st[:] = jnp.zeros_like(dh_st)
         dc_st[:] = jnp.zeros_like(dc_st)
 
-    i, f, g, o = jnp.split(gates_ref[0], 4, axis=-1)
-    c = c_ref[0]
+    i, f, g, o = jnp.split(
+        gates_ref[0].astype(jnp.float32), 4, axis=-1
+    )
+    c = c_ref[0].astype(jnp.float32)
     tanh_c = jnp.tanh(c)
     dh = dh_out_ref[0] + dh_st[:]
     do = dh * tanh_c
     dc = dc_st[:] + dh * o * (1.0 - tanh_c * tanh_c)
     di = dc * g
-    df = dc * cprev_ref[0]
+    df = dc * cprev_ref[0].astype(jnp.float32)
     dg = dc * i
     d_pre = jnp.concatenate(
         [
@@ -273,7 +287,7 @@ def lstm_sequence(x_proj: Array, w_hh: Array) -> Array:
 
 
 def _vjp_fwd(x_proj, w_hh):
-    h, gates, c = _fwd(x_proj, w_hh)
+    h, gates, c = _fwd(x_proj, w_hh, residual_dtype=RESIDUAL_DTYPE)
     return h, (gates, c, h, w_hh)
 
 
@@ -334,16 +348,20 @@ def _bd_fwd_kernel(
             st[:] = jnp.zeros_like(st)
 
     h, c, gates = _cell(xpf_ref[0], wf_ref[:], hf_st[:], cf_st[:])
-    hf_ref[0], cf_ref[0], gf_ref[0] = h, c, gates
+    hf_ref[0] = h
+    cf_ref[0] = c.astype(cf_ref.dtype)
+    gf_ref[0] = gates.astype(gf_ref.dtype)
     hf_st[:], cf_st[:] = h, c
 
     h, c, gates = _cell(xpb_ref[0], wb_ref[:], hb_st[:], cb_st[:])
-    hb_ref[0], cb_ref[0], gb_ref[0] = h, c, gates
+    hb_ref[0] = h
+    cb_ref[0] = c.astype(cb_ref.dtype)
+    gb_ref[0] = gates.astype(gb_ref.dtype)
     hb_st[:], cb_st[:] = h, c
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _bd_fwd(xp_f, xp_b, w_f, w_b):
+@functools.partial(jax.jit, static_argnames=("residual_dtype",))
+def _bd_fwd(xp_f, xp_b, w_f, w_b, residual_dtype=jnp.float32):
     t, b, four_h = xp_f.shape
     h_dim = four_h // 4
     seq = lambda i: (i, 0, 0)
@@ -359,10 +377,10 @@ def _bd_fwd(xp_f, xp_b, w_f, w_b):
         out_shape=[
             jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
             jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, four_h), residual_dtype),
+            jax.ShapeDtypeStruct((t, b, four_h), residual_dtype),
+            jax.ShapeDtypeStruct((t, b, h_dim), residual_dtype),
+            jax.ShapeDtypeStruct((t, b, h_dim), residual_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
@@ -417,7 +435,9 @@ def _bd_infer(xp_f, xp_b, w_f, w_b):
 
 
 def _cell_bwd(dh_out, g_all, c, c_prev, w, dh_st, dc_st):
-    i, f, g, o = jnp.split(g_all, 4, axis=-1)
+    i, f, g, o = jnp.split(g_all.astype(jnp.float32), 4, axis=-1)
+    c = c.astype(jnp.float32)
+    c_prev = c_prev.astype(jnp.float32)
     tanh_c = jnp.tanh(c)
     dh = dh_out + dh_st
     do = dh * tanh_c
@@ -512,7 +532,9 @@ def bilstm_sequence(xp_f: Array, xp_b: Array, w_f: Array, w_b: Array):
 
 
 def _bd_vjp_fwd(xp_f, xp_b, w_f, w_b):
-    h_f, h_b, g_f, g_b, c_f, c_b = _bd_fwd(xp_f, xp_b, w_f, w_b)
+    h_f, h_b, g_f, g_b, c_f, c_b = _bd_fwd(
+        xp_f, xp_b, w_f, w_b, residual_dtype=RESIDUAL_DTYPE
+    )
     return (h_f, h_b), (g_f, g_b, c_f, c_b, h_f, h_b, w_f, w_b)
 
 

@@ -113,17 +113,18 @@ def make_train_step(
     tx = make_optimizer(config)
 
     def loss_fn(params, batch: Batch, key: Array) -> Array:
-        k_aug, k_model = jax.random.split(key)
-        x_in = _augment_inputs(config, batch, k_aug)
-        mel_out = module.apply(
-            {"params": params},
-            x_in,
-            batch.mel,
-            batch.spk_emb,
-            train=True,
-            rngs={"resample": k_model},
-        )
-        return jnp.mean(jnp.square(batch.mel - mel_out))
+        with jax.default_matmul_precision(config.matmul_precision):
+            k_aug, k_model = jax.random.split(key)
+            x_in = _augment_inputs(config, batch, k_aug)
+            mel_out = module.apply(
+                {"params": params},
+                x_in,
+                batch.mel,
+                batch.spk_emb,
+                train=True,
+                rngs={"resample": k_model},
+            )
+            return jnp.mean(jnp.square(batch.mel - mel_out))
 
     def step(
         state: TrainState, batch: Batch, key: Array
@@ -146,25 +147,28 @@ def make_f0_train_step(
     tx = make_optimizer(config)
 
     def loss_fn(params, batch: Batch, key: Array) -> Array:
-        f0 = batch.f0[:, :, 0]  # [B, T] normalized, -1e10 padded
-        target_ids = quantize_f0(f0, config.dim_f0 - 1)  # [B, T]
-        f0_onehot = quantize_f0_onehot(f0, config.dim_f0 - 1)
-        logits = module.apply(
-            {"params": params},
-            batch.mel,
-            f0_onehot,
-            train=True,
-            rngs={"resample": key},
-        )
-        losses = optax.softmax_cross_entropy_with_integer_labels(
-            logits, target_ids
-        )  # [B, T]
-        # mask padding frames (everything past len_org)
-        t = losses.shape[1]
-        valid = (
-            jnp.arange(t)[None, :] < batch.len_org[:, None]
-        ).astype(losses.dtype)
-        return jnp.sum(losses * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        with jax.default_matmul_precision(config.matmul_precision):
+            f0 = batch.f0[:, :, 0]  # [B, T] normalized, -1e10 padded
+            target_ids = quantize_f0(f0, config.dim_f0 - 1)  # [B, T]
+            f0_onehot = quantize_f0_onehot(f0, config.dim_f0 - 1)
+            logits = module.apply(
+                {"params": params},
+                batch.mel,
+                f0_onehot,
+                train=True,
+                rngs={"resample": key},
+            )
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits, target_ids
+            )  # [B, T]
+            # mask padding frames (everything past len_org)
+            t = losses.shape[1]
+            valid = (
+                jnp.arange(t)[None, :] < batch.len_org[:, None]
+            ).astype(losses.dtype)
+            return jnp.sum(losses * valid) / jnp.maximum(
+                jnp.sum(valid), 1.0
+            )
 
     def step(
         state: TrainState, batch: Batch, key: Array

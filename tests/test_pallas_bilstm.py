@@ -14,9 +14,14 @@ T, B, H, I = 10, 8, 32, 16
 
 @pytest.fixture(autouse=True)
 def _interpret_mode():
+    import jax.numpy as jnp
+
     pallas_lstm.FORCE_INTERPRET = True
+    prev = pallas_lstm.RESIDUAL_DTYPE
+    pallas_lstm.RESIDUAL_DTYPE = jnp.float32  # exact-parity comparisons
     yield
     pallas_lstm.FORCE_INTERPRET = False
+    pallas_lstm.RESIDUAL_DTYPE = prev
 
 
 def test_bilstm_layer_matches_scan_path(rng):

@@ -19,8 +19,13 @@ T, B, H = 12, 8, 128  # satisfies tiling constraints
 @pytest.fixture(autouse=True)
 def _interpret_mode():
     pallas_lstm.FORCE_INTERPRET = True
+    # exact-gradient comparisons pin full-precision residuals; the
+    # shipped bf16-residual default is covered by its own test below
+    prev = pallas_lstm.RESIDUAL_DTYPE
+    pallas_lstm.RESIDUAL_DTYPE = jnp.float32
     yield
     pallas_lstm.FORCE_INTERPRET = False
+    pallas_lstm.RESIDUAL_DTYPE = prev
 
 
 def _scan_reference(x_proj, w_hh):
@@ -77,6 +82,31 @@ def test_gradients_match_scan():
     np.testing.assert_allclose(
         np.asarray(gp[1]), np.asarray(gs[1]), atol=1e-5
     )
+
+
+def test_bf16_residuals_gradients_close():
+    """The shipped bf16-residual mode: gradients within mixed-precision
+    tolerance of the exact path."""
+    x_proj, w_hh = _inputs(5)
+    target = jnp.asarray(
+        np.random.RandomState(6).randn(T, B, H).astype(np.float32)
+    )
+
+    def loss(xp, w):
+        return jnp.mean(
+            jnp.square(pallas_lstm.lstm_sequence(xp, w) - target)
+        )
+
+    g_exact = jax.grad(loss, argnums=(0, 1))(x_proj, w_hh)
+    pallas_lstm.RESIDUAL_DTYPE = jnp.bfloat16
+    try:
+        g_bf16 = jax.grad(loss, argnums=(0, 1))(x_proj, w_hh)
+    finally:
+        pallas_lstm.RESIDUAL_DTYPE = jnp.float32
+    for a, b in zip(g_exact, g_bf16):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / denom < 0.02
 
 
 def test_supported_predicate():
