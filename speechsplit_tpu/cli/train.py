@@ -39,6 +39,11 @@ def main(argv=None) -> None:
     parser.add_argument("--hparams", default="", help="k=v,k=v overrides")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument(
+        "--compress_transfers", action="store_true",
+        help="send features host->device as bfloat16 (halves feed bytes "
+        "when the host link limits sustained throughput)",
+    )
+    parser.add_argument(
         "--num_devices", type=int, default=0,
         help="devices in the data mesh (0 = all available)",
     )
@@ -82,6 +87,7 @@ def main(argv=None) -> None:
         seed=args.seed,
         validation_path=args.validation_path,
         model=args.model,
+        compress_transfers=args.compress_transfers,
     )
     Solver(loader, run_config, config, mesh=mesh).train()
 

@@ -15,6 +15,8 @@ import threading
 from typing import Any, Iterator, Optional
 
 import jax
+import ml_dtypes
+import numpy as np
 
 
 def prefetch_to_device(
@@ -22,12 +24,27 @@ def prefetch_to_device(
     *,
     size: int = 2,
     sharding: Optional[jax.sharding.Sharding] = None,
+    compress: bool = False,
 ) -> Iterator[Any]:
-    """Wrap a host batch iterator with background device transfer."""
+    """Wrap a host batch iterator with background device transfer.
+
+    ``compress=True`` sends float32 feature arrays as bfloat16 (halving
+    host->device bytes; the train step upcasts on device). Useful when
+    the host link, not the step, limits sustained throughput — e.g.
+    this environment's device tunnel caps the end-to-end loop at ~50
+    steps/s while the step itself runs at ~120. Adds ~4e-3 quantization
+    to [0,1] mel targets, so it is off by default.
+    """
     buf: "queue.Queue[Any]" = queue.Queue(maxsize=size)
     sentinel = object()
 
+    def maybe_compress(x):
+        if compress and getattr(x, "dtype", None) == np.float32:
+            return x.astype(ml_dtypes.bfloat16)
+        return x
+
     def put(batch):
+        batch = jax.tree.map(maybe_compress, batch)
         if sharding is not None:
             return jax.tree.map(
                 lambda x: jax.device_put(x, sharding), batch

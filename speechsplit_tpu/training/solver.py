@@ -54,6 +54,7 @@ class SolverConfig:
     profile_dir: str = ""       # jax.profiler trace of a step window
     profile_start: int = 10
     profile_steps: int = 5
+    compress_transfers: bool = False  # bf16 host->device feature feed
 
 
 class Solver:
@@ -121,7 +122,9 @@ class Solver:
                 rc.model_save_dir, rc.resume_iters, self.state, self.tag
             )
 
-        batches = prefetch_to_device(self.loader)
+        batches = prefetch_to_device(
+            self.loader, compress=rc.compress_transfers
+        )
         print("Start training...")
         start_time = time.time()
         timer = StepTimer()

@@ -86,6 +86,17 @@ def create_train_state(
     )
 
 
+def _upcast_batch(batch: Batch) -> Batch:
+    """Restore float32 on device (features may arrive bfloat16 when the
+    prefetcher compresses host->device transfers)."""
+    return Batch(
+        mel=batch.mel.astype(jnp.float32),
+        spk_emb=batch.spk_emb.astype(jnp.float32),
+        f0=batch.f0.astype(jnp.float32),
+        len_org=batch.len_org,
+    )
+
+
 def _augment_inputs(
     config: SpeechSplitConfig, batch: Batch, key: jax.Array
 ) -> Array:
@@ -114,6 +125,7 @@ def make_train_step(
 
     def loss_fn(params, batch: Batch, key: Array) -> Array:
         with jax.default_matmul_precision(config.matmul_precision):
+            batch = _upcast_batch(batch)
             k_aug, k_model = jax.random.split(key)
             x_in = _augment_inputs(config, batch, k_aug)
             mel_out = module.apply(
@@ -148,6 +160,7 @@ def make_f0_train_step(
 
     def loss_fn(params, batch: Batch, key: Array) -> Array:
         with jax.default_matmul_precision(config.matmul_precision):
+            batch = _upcast_batch(batch)
             f0 = batch.f0[:, :, 0]  # [B, T] normalized, -1e10 padded
             target_ids = quantize_f0(f0, config.dim_f0 - 1)  # [B, T]
             f0_onehot = quantize_f0_onehot(f0, config.dim_f0 - 1)
