@@ -50,8 +50,13 @@ def restore_checkpoint(
 def latest_checkpoint_step(
     model_save_dir: str, tag: str = "G"
 ) -> Optional[int]:
+    steps = checkpoint_steps(model_save_dir, tag)
+    return max(steps) if steps else None
+
+
+def checkpoint_steps(model_save_dir: str, tag: str = "G") -> list[int]:
     if not os.path.isdir(model_save_dir):
-        return None
+        return []
     steps = []
     for name in os.listdir(model_save_dir):
         if name.endswith(f"-{tag}"):
@@ -59,4 +64,20 @@ def latest_checkpoint_step(
                 steps.append(int(name.split("-")[0]))
             except ValueError:
                 continue
-    return max(steps) if steps else None
+    return sorted(steps)
+
+
+def prune_checkpoints(
+    model_save_dir: str, keep: int, tag: str = "G"
+) -> None:
+    """Delete all but the newest ``keep`` checkpoints for ``tag``.
+
+    The reference keeps every 1000-step checkpoint forever
+    (solver.py:198-202) — a disk leak over a 1M-iteration run; retention
+    is opt-in here via SolverConfig.keep_checkpoints.
+    """
+    import shutil
+
+    steps = checkpoint_steps(model_save_dir, tag)
+    for step in steps[:-keep] if keep > 0 else []:
+        shutil.rmtree(_path(model_save_dir, step, tag), ignore_errors=True)

@@ -55,6 +55,7 @@ class SolverConfig:
     profile_start: int = 10
     profile_steps: int = 5
     compress_transfers: bool = False  # bf16 host->device feature feed
+    keep_checkpoints: int = 0         # 0 = keep all (reference behavior)
 
 
 class Solver:
@@ -172,6 +173,10 @@ class Solver:
                     rc.model_save_dir, i + 1, self.state, self.tag
                 )
                 print(f"Saved checkpoint {path}")
+                if rc.keep_checkpoints:
+                    ckpt_lib.prune_checkpoints(
+                        rc.model_save_dir, rc.keep_checkpoints, self.tag
+                    )
 
             if (i + 1) % rc.sample_step == 0 and self.validation_pt:
                 if self.rc.model == "speechsplit":

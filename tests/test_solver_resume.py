@@ -54,3 +54,22 @@ def test_resume_continues_from_checkpoint(tmp_path):
     state2 = solver2.train()
     assert int(state2.step) == 6
     assert os.path.isdir(tmp_path / "models" / "6-G")
+
+
+def test_checkpoint_pruning(tmp_path):
+    import jax
+
+    from speechsplit_tpu.training.checkpoint import (
+        checkpoint_steps,
+        prune_checkpoints,
+        save_checkpoint,
+    )
+    from speechsplit_tpu.training.train_step import create_train_state
+
+    _, state = create_train_state(SMALL, jax.random.PRNGKey(0))
+    for step in (1, 2, 3, 4):
+        save_checkpoint(str(tmp_path), step, state)
+    prune_checkpoints(str(tmp_path), keep=2)
+    assert checkpoint_steps(str(tmp_path)) == [3, 4]
+    prune_checkpoints(str(tmp_path), keep=0)  # 0 = keep all
+    assert checkpoint_steps(str(tmp_path)) == [3, 4]
