@@ -119,3 +119,49 @@ def test_jit_static_shapes(rng):
     out = fn(x, jnp.array([64, 128, 192]), jax.random.PRNGKey(1))
     assert out.shape == (3, 192, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("len_seq", [2, 5, 19, 63])
+def test_resample_tiny_sequences_no_crash(rng, len_seq):
+    """Degenerate lengths must not index out of bounds or emit NaN
+    (the reference crashes on several of these via its data-dependent
+    indexing)."""
+    x = jnp.asarray(rng.randn(2, 192, 4).astype(np.float32))
+    out = random_resample(
+        x, jnp.array([len_seq, len_seq]), jax.random.PRNGKey(0)
+    )
+    out = np.asarray(out)
+    assert out.shape == (2, 192, 4)
+    assert np.isfinite(out).all()
+    # nothing written past the (stretched) content
+    assert (np.abs(out[:, 150:, :]).sum() == 0) or len_seq > 60
+
+
+def test_resample_extreme_scales_respect_truncation(rng):
+    """Max stretch (idx/scale with scale ~1.5 lengthens segments ~1.5x)
+    must truncate to max_len_pad exactly like the reference's
+    pad_sequences; max compression (scale 0.5) leaves a zero tail."""
+    x = jnp.asarray(rng.randn(1, 192, 3).astype(np.float32) + 3.0)
+    len_seg = jnp.full((1, CFG.max_num_seg), CFG.max_len_seg - 1)
+
+    stretched = np.asarray(
+        resample_fixed(
+            x, jnp.array([192]), jnp.full((1, CFG.max_num_seg), 1.4999),
+            len_seg, max_len_pad=CFG.max_len_pad,
+        )
+    )
+    assert stretched.shape == (1, 192, 3)
+    assert np.isfinite(stretched).all()
+    # ~1.5x stretch of 192 frames overflows the window: every row filled
+    assert (np.abs(stretched[0]).sum(axis=1) > 0).all()
+
+    compressed = np.asarray(
+        resample_fixed(
+            x, jnp.array([192]), jnp.full((1, CFG.max_num_seg), 0.5),
+            len_seg, max_len_pad=CFG.max_len_pad,
+        )
+    )
+    # 2x compression of 7x30 source frames -> ~105 output frames, zero tail
+    filled = (np.abs(compressed[0]).sum(axis=1) > 0).sum()
+    assert 90 <= filled <= 120
+    assert np.abs(compressed[0, 150:]).sum() == 0
