@@ -52,6 +52,9 @@ def main(argv=None) -> None:
     parser.add_argument("--hparams", default="", help="k=v,k=v overrides")
     args = parser.parse_args(argv)
 
+    from speechsplit_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from speechsplit_tpu.config import SpeechSplitConfig
     from speechsplit_tpu.convert import (
         convert,

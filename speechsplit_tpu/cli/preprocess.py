@@ -25,6 +25,9 @@ def main(argv=None) -> None:
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
+    from speechsplit_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     from speechsplit_tpu.data.prepare import extract_dir
 
     if os.path.exists(args.spk2gen):

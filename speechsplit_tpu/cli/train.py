@@ -49,6 +49,9 @@ def main(argv=None) -> None:
     )
     args = parser.parse_args(argv)
 
+    from speechsplit_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     import jax
 
     from speechsplit_tpu.config import SpeechSplitConfig
