@@ -44,6 +44,20 @@ def main(argv=None) -> None:
         "when the host link limits sustained throughput)",
     )
     parser.add_argument(
+        "--keep_checkpoints", type=int, default=0,
+        help="retain only the newest N checkpoints (0 = keep all, "
+        "matching the reference)",
+    )
+    parser.add_argument(
+        "--profile_dir", default="",
+        help="write a jax.profiler trace of a few steps to this dir",
+    )
+    parser.add_argument(
+        "--lazy_data", action="store_true",
+        help="memory-map features instead of caching in RAM "
+        "(for VCTK-scale datasets)",
+    )
+    parser.add_argument(
         "--num_devices", type=int, default=0,
         help="devices in the data mesh (0 = all available)",
     )
@@ -69,7 +83,8 @@ def main(argv=None) -> None:
         os.makedirs(d, exist_ok=True)
 
     dataset = SpeakerDataset(
-        config.root_dir, config.feat_dir, mode=config.mode
+        config.root_dir, config.feat_dir, mode=config.mode,
+        eager=not args.lazy_data,
     )
     loader = data_loader(dataset, config, seed=args.seed)
 
@@ -91,6 +106,8 @@ def main(argv=None) -> None:
         validation_path=args.validation_path,
         model=args.model,
         compress_transfers=args.compress_transfers,
+        keep_checkpoints=args.keep_checkpoints,
+        profile_dir=args.profile_dir,
     )
     Solver(loader, run_config, config, mesh=mesh).train()
 

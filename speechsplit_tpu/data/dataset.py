@@ -41,24 +41,33 @@ class SpeakerDataset:
         num_workers: int = 8,
         mode: str = "train",
         split: int = 0,
+        eager: bool = True,
     ):
         """``mode``/``split`` reproduce the reference's frame-level
         train/test partition (data_loader.py:23,64-69): 'train' keeps
         frames [split:] of every utterance, 'test' keeps [:split].
         The reference default split=0 makes the test set empty — kept
-        as the documented default rather than silently changed."""
+        as the documented default rather than silently changed.
+
+        ``eager=False`` keeps features as memory-mapped ``.npy`` views
+        instead of RAM copies — required at VCTK scale (the reference
+        eagerly loads everything, data_loader.py:55-73, which caps
+        dataset size at host RAM). The collator's random crop reads
+        only the cropped frames, so page cache does the rest.
+        """
         if mode not in ("train", "test"):
             raise ValueError(mode)
         self.root_dir = root_dir
         self.feat_dir = feat_dir
         meta = metadata if metadata is not None else load_metadata(root_dir)
+        mmap = None if eager else "r"
 
         def load_entry(entry):
             speaker, emb = entry[0], np.asarray(entry[1], np.float32)
             utts = []
             for rel in entry[2:]:
-                mel = np.load(os.path.join(root_dir, rel))
-                f0 = np.load(os.path.join(feat_dir, rel))
+                mel = np.load(os.path.join(root_dir, rel), mmap_mode=mmap)
+                f0 = np.load(os.path.join(feat_dir, rel), mmap_mode=mmap)
                 assert len(mel) == len(f0), rel
                 if mode == "train":
                     mel, f0 = mel[split:], f0[split:]

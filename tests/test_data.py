@@ -139,3 +139,17 @@ def test_read_wav_roundtrip(tmp_path):
     _write_wav(tmp_path / "x.wav", wav)
     back = read_wav(str(tmp_path / "x.wav"))
     assert np.abs(back - wav).max() < 1e-3
+
+
+def test_lazy_memmap_dataset(prepared_dataset):
+    """eager=False keeps memmap views; batches are identical to eager."""
+    mel_dir, f0_dir = prepared_dataset
+    lazy = SpeakerDataset(mel_dir, f0_dir, eager=False)
+    eager = SpeakerDataset(mel_dir, f0_dir, eager=True)
+    assert isinstance(lazy.entries[0][2][0][0], np.memmap)
+    cfg = CFG.replace(batch_size=4)
+    b_lazy = next(data_loader(lazy, cfg, seed=3))
+    b_eager = next(data_loader(eager, cfg, seed=3))
+    np.testing.assert_array_equal(b_lazy.mel, b_eager.mel)
+    np.testing.assert_array_equal(b_lazy.f0, b_eager.f0)
+    np.testing.assert_array_equal(b_lazy.len_org, b_eager.len_org)
