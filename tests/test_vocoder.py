@@ -35,3 +35,30 @@ def test_vocoder_interface_on_random_mel(rng):
     out = voc(mel)
     assert out.ndim == 1
     assert np.isfinite(out).all()
+
+
+def test_griffin_lim_mel_fidelity():
+    """Quality metric: resynthesize a harmonic mel, re-extract its mel,
+    and require close agreement (the vocoder must at least preserve the
+    spectro-temporal envelope it was given)."""
+    t = np.arange(2 * FS) / FS
+    wav = sum(
+        np.sin(2 * np.pi * 155.0 * h * t) / h for h in range(1, 5)
+    )
+    wav = (wav / np.abs(wav).max() * 0.5).astype(np.float32)
+    mel_in = np.asarray(mel_spectrogram(jnp.asarray(wav[None])))[0]
+
+    voc = GriffinLimVocoder(n_iter=50)
+    out = voc(mel_in)
+    mel_back = np.asarray(mel_spectrogram(jnp.asarray(out[None])))[0]
+
+    n = min(len(mel_in), len(mel_back)) - 4
+    a, b = mel_in[2:n], mel_back[2:n]
+    # the vocoder peak-normalizes loudness -> constant dB offset;
+    # fidelity is about spectro-temporal shape, so compare offset-free
+    # (normalized-dB mel scale: 0.01 ~= 1 dB)
+    offset = (a - b).mean()
+    err = np.abs(a - b - offset)
+    # mel-consistency-projected GL achieves ~1.1 dB mean (0.011);
+    # plain pinv+GL sat at ~5 dB
+    assert err.mean() < 0.02, err.mean()
