@@ -122,12 +122,15 @@ def bench_reference_cpu(n_meas: int = 3) -> float | None:
         opt.step()
 
     one_step()  # warmup
-    start = time.perf_counter()
+    # host timing is noisy under background load; credit the baseline
+    # its fastest step (conservative for our speedup ratio)
+    best = float("inf")
     for _ in range(n_meas):
+        start = time.perf_counter()
         one_step()
-    elapsed = time.perf_counter() - start
-    log(f"torch-cpu: {n_meas} steps in {elapsed:.3f}s")
-    return n_meas / elapsed
+        best = min(best, time.perf_counter() - start)
+    log(f"torch-cpu best step: {best:.3f}s")
+    return 1.0 / best
 
 
 def main() -> None:
