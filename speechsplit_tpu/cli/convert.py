@@ -57,7 +57,7 @@ def main(argv=None) -> None:
     enable_compile_cache()
     from speechsplit_tpu.config import SpeechSplitConfig
     from speechsplit_tpu.convert import (
-        convert,
+        convert_batched,
         load_demo_metadata,
         utterance_from_metadata,
     )
@@ -71,30 +71,31 @@ def main(argv=None) -> None:
     src = utterance_from_metadata(config, metadata[args.source_index])
     trg = utterance_from_metadata(config, metadata[args.target_index])
 
-    results = convert(
+    # all conditions in one batched device call
+    results = convert_batched(
         SpeechSplit(config), g_params,
         F0Converter(config), p_params,
-        src, trg,
+        [(src, trg)],
         conditions=args.conditions.split(","),
-    )
+    )[0]
 
     os.makedirs(args.out_dir, exist_ok=True)
-    vocoder = None
+    wavs = None
     if args.synthesize:
         from speechsplit_tpu.vocoder import GriffinLimVocoder
 
         vocoder = GriffinLimVocoder()
-    for name, mel in results:
+        wavs = vocoder.synthesize_batch([mel for _, mel in results])
+    for i, (name, mel) in enumerate(results):
         np.save(os.path.join(args.out_dir, name + ".npy"), mel)
         print(f"{name}: mel {mel.shape}")
-        if vocoder is not None:
+        if wavs is not None:
             from scipy.io import wavfile
 
-            wav = vocoder(mel)
             wavfile.write(
                 os.path.join(args.out_dir, name + ".wav"),
                 vocoder.sample_rate,
-                (wav * 32767).astype(np.int16),
+                (wavs[i] * 32767).astype(np.int16),
             )
 
 

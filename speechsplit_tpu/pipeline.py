@@ -224,9 +224,14 @@ class VoiceConverter:
                 )
                 for condition in conditions
             ]
-        for condition, mel in named:
+        wavs = None
+        if synthesize and hasattr(self.vocoder, "synthesize_batch"):
+            wavs = self.vocoder.synthesize_batch([m for _, m in named])
+        for i, (condition, mel) in enumerate(named):
             entry = {"mel": mel}
             if synthesize:
-                entry["wav"] = self.vocoder(mel)
+                entry["wav"] = (
+                    wavs[i] if wavs is not None else self.vocoder(mel)
+                )
             out[condition] = entry
         return out

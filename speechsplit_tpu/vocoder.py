@@ -136,10 +136,10 @@ def mel_griffin_lim(
     projection matches the target (a multiplicative mel-domain
     projection), which cuts the resynthesis mel error several-fold.
 
-    mel_amp: [T, M] linear-amplitude mel target; basis [F, M];
-    inv_basis [M, F]. Returns the waveform.
+    mel_amp: [B, T, M] linear-amplitude mel targets; basis [F, M];
+    inv_basis [M, F]. Returns waveforms [B, N].
     """
-    mag0 = jnp.maximum(mel_amp @ inv_basis, 1e-8)[None]  # [1, T, F]
+    mag0 = jnp.maximum(mel_amp @ inv_basis, 1e-8)  # [B, T, F]
     phase = jax.random.uniform(key, mag0.shape) * 2.0 * jnp.pi
     spec0 = mag0 * jnp.exp(1j * phase)
     weight = jnp.maximum(jnp.sum(basis, axis=1), 1e-8)[None, None, :]
@@ -148,8 +148,8 @@ def mel_griffin_lim(
         x = _istft(spec, n_fft, hop)
         rebuilt = _stft_complex(x, n_fft, hop)[..., : mag0.shape[-2], :]
         mag_r = jnp.maximum(jnp.abs(rebuilt), 1e-8)
-        mel_now = jnp.maximum(mag_r @ basis, 1e-8)  # [1, T, M]
-        ratio = mel_amp[None] / mel_now
+        mel_now = jnp.maximum(mag_r @ basis, 1e-8)  # [B, T, M]
+        ratio = mel_amp / mel_now
         corr = (ratio @ basis.T) / weight  # weighted mean ratio per bin
         return mag_r * corr * (rebuilt / mag_r)
 
@@ -159,7 +159,7 @@ def mel_griffin_lim(
         return proj + momentum * (proj - prev), proj
 
     _, proj = jax.lax.fori_loop(0, n_iter, body, (spec0, spec0))
-    return _istft(proj, n_fft, hop)[0]
+    return _istft(proj, n_fft, hop)
 
 
 class GriffinLimVocoder:
@@ -192,12 +192,30 @@ class GriffinLimVocoder:
         )
 
     def __call__(self, mel: np.ndarray) -> np.ndarray:
-        mel = jnp.asarray(mel, jnp.float32)  # [T, 80] normalized
-        db = mel * 100.0 - 100.0 + self.ref_level_db
-        amp = jnp.power(10.0, db / 20.0)  # [T, 80]
-        wav = mel_griffin_lim(
+        return self.synthesize_batch([np.asarray(mel)])[0]
+
+    def synthesize_batch(
+        self, mels: "list[np.ndarray]"
+    ) -> "list[np.ndarray]":
+        """Synthesize many mels in one device call (padded to a common
+        length, trimmed per input). Per-call cost is dominated by the
+        iterative STFT loop, so batching ~linearly increases
+        throughput."""
+        t_max = max(len(m) for m in mels)
+        batch = np.zeros((len(mels), t_max, mels[0].shape[1]), np.float32)
+        for i, m in enumerate(mels):
+            batch[i, : len(m)] = m
+        db = jnp.asarray(batch) * 100.0 - 100.0 + self.ref_level_db
+        amp = jnp.power(10.0, db / 20.0)  # [B, T, 80]
+        wavs = mel_griffin_lim(
             amp, self.basis, self.inv_basis, self.key,
             self.n_fft, self.hop, self.n_iter,
         )
-        wav = wav / jnp.maximum(jnp.abs(wav).max(), 1e-5) * 0.9
-        return np.asarray(wav, np.float32)
+        wavs = np.asarray(wavs, np.float32)
+        out = []
+        for i, m in enumerate(mels):
+            n = (len(m) - 1) * self.hop
+            w = wavs[i, :n]
+            peak = max(float(np.abs(w).max()), 1e-5)
+            out.append((w / peak * 0.9).astype(np.float32))
+        return out

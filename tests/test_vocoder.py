@@ -62,3 +62,19 @@ def test_griffin_lim_mel_fidelity():
     # mel-consistency-projected GL achieves ~1.1 dB mean (0.011);
     # plain pinv+GL sat at ~5 dB
     assert err.mean() < 0.02, err.mean()
+
+
+def test_batched_synthesis_matches_single(rng):
+    """Batched synthesis trims each output to its own mel length and
+    produces finite audio for mixed-length inputs."""
+    mels = [
+        rng.rand(60, 80).astype(np.float32),
+        rng.rand(100, 80).astype(np.float32),
+    ]
+    voc = GriffinLimVocoder(n_iter=8)
+    outs = voc.synthesize_batch(mels)
+    assert len(outs) == 2
+    assert len(outs[0]) == 59 * 256
+    assert len(outs[1]) == 99 * 256
+    for o in outs:
+        assert np.isfinite(o).all() and np.abs(o).max() <= 0.9 + 1e-4
