@@ -335,6 +335,13 @@ def _cell(xp, w, h_st, c_st):
     return h, c, jnp.concatenate([i, f, g, o], axis=-1)
 
 
+# timesteps processed per grid step in the merged-bidirectional kernels:
+# amortizes per-block DMA latency over FOLD cells (the per-step blocks
+# are small, so DMA latency — not bytes — bounds the grid). Must divide
+# the sequence length (192 = 4 * 48).
+FOLD = 4
+
+
 def _bd_fwd_kernel(
     xpf_ref, xpb_ref, wf_ref, wb_ref,
     hf_ref, hb_ref, gf_ref, gb_ref, cf_ref, cb_ref,
@@ -347,31 +354,38 @@ def _bd_fwd_kernel(
         for st in (hf_st, cf_st, hb_st, cb_st):
             st[:] = jnp.zeros_like(st)
 
-    h, c, gates = _cell(xpf_ref[0], wf_ref[:], hf_st[:], cf_st[:])
-    hf_ref[0] = h
-    cf_ref[0] = c.astype(cf_ref.dtype)
-    gf_ref[0] = gates.astype(gf_ref.dtype)
-    hf_st[:], cf_st[:] = h, c
+    fold = xpf_ref.shape[0]
+    for k in range(fold):
+        h, c, gates = _cell(xpf_ref[k], wf_ref[:], hf_st[:], cf_st[:])
+        hf_ref[k] = h
+        cf_ref[k] = c.astype(cf_ref.dtype)
+        gf_ref[k] = gates.astype(gf_ref.dtype)
+        hf_st[:], cf_st[:] = h, c
 
-    h, c, gates = _cell(xpb_ref[0], wb_ref[:], hb_st[:], cb_st[:])
-    hb_ref[0] = h
-    cb_ref[0] = c.astype(cb_ref.dtype)
-    gb_ref[0] = gates.astype(gb_ref.dtype)
-    hb_st[:], cb_st[:] = h, c
+        h, c, gates = _cell(xpb_ref[k], wb_ref[:], hb_st[:], cb_st[:])
+        hb_ref[k] = h
+        cb_ref[k] = c.astype(cb_ref.dtype)
+        gb_ref[k] = gates.astype(gb_ref.dtype)
+        hb_st[:], cb_st[:] = h, c
+
+
+def _fold_for(t: int) -> int:
+    return FOLD if t % FOLD == 0 else 1
 
 
 @functools.partial(jax.jit, static_argnames=("residual_dtype",))
 def _bd_fwd(xp_f, xp_b, w_f, w_b, residual_dtype=jnp.float32):
     t, b, four_h = xp_f.shape
     h_dim = four_h // 4
+    fold = _fold_for(t)
     seq = lambda i: (i, 0, 0)
     full = lambda i: (0, 0)
-    blk_x = pl.BlockSpec((1, b, four_h), seq, memory_space=pltpu.VMEM)
-    blk_h = pl.BlockSpec((1, b, h_dim), seq, memory_space=pltpu.VMEM)
+    blk_x = pl.BlockSpec((fold, b, four_h), seq, memory_space=pltpu.VMEM)
+    blk_h = pl.BlockSpec((fold, b, h_dim), seq, memory_space=pltpu.VMEM)
     blk_w = pl.BlockSpec((h_dim, four_h), full, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bd_fwd_kernel,
-        grid=(t,),
+        grid=(t // fold,),
         in_specs=[blk_x, blk_x, blk_w, blk_w],
         out_specs=[blk_h, blk_h, blk_x, blk_x, blk_h, blk_h],
         out_shape=[
@@ -401,26 +415,29 @@ def _bd_infer_kernel(
         for st in (hf_st, cf_st, hb_st, cb_st):
             st[:] = jnp.zeros_like(st)
 
-    h, c, _ = _cell(xpf_ref[0], wf_ref[:], hf_st[:], cf_st[:])
-    hf_ref[0] = h
-    hf_st[:], cf_st[:] = h, c
-    h, c, _ = _cell(xpb_ref[0], wb_ref[:], hb_st[:], cb_st[:])
-    hb_ref[0] = h
-    hb_st[:], cb_st[:] = h, c
+    fold = xpf_ref.shape[0]
+    for k in range(fold):
+        h, c, _ = _cell(xpf_ref[k], wf_ref[:], hf_st[:], cf_st[:])
+        hf_ref[k] = h
+        hf_st[:], cf_st[:] = h, c
+        h, c, _ = _cell(xpb_ref[k], wb_ref[:], hb_st[:], cb_st[:])
+        hb_ref[k] = h
+        hb_st[:], cb_st[:] = h, c
 
 
 @functools.partial(jax.jit, static_argnames=())
 def _bd_infer(xp_f, xp_b, w_f, w_b):
     t, b, four_h = xp_f.shape
     h_dim = four_h // 4
+    fold = _fold_for(t)
     seq = lambda i: (i, 0, 0)
     full = lambda i: (0, 0)
-    blk_x = pl.BlockSpec((1, b, four_h), seq, memory_space=pltpu.VMEM)
-    blk_h = pl.BlockSpec((1, b, h_dim), seq, memory_space=pltpu.VMEM)
+    blk_x = pl.BlockSpec((fold, b, four_h), seq, memory_space=pltpu.VMEM)
+    blk_h = pl.BlockSpec((fold, b, h_dim), seq, memory_space=pltpu.VMEM)
     blk_w = pl.BlockSpec((h_dim, four_h), full, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bd_infer_kernel,
-        grid=(t,),
+        grid=(t // fold,),
         in_specs=[blk_x, blk_x, blk_w, blk_w],
         out_specs=[blk_h, blk_h],
         out_shape=[
@@ -474,33 +491,37 @@ def _bd_bwd_kernel(
         for st in (dhf_st, dcf_st, dhb_st, dcb_st):
             st[:] = jnp.zeros_like(st)
 
-    d_pre, dh, dc = _cell_bwd(
-        dhf_ref[0], gf_ref[0], cf_ref[0], cpf_ref[0], wf_ref[:],
-        dhf_st[:], dcf_st[:],
-    )
-    dxf_ref[0] = d_pre
-    dhf_st[:], dcf_st[:] = dh, dc
+    fold = gf_ref.shape[0]
+    for k in reversed(range(fold)):  # blocks reversed AND rows within
+        d_pre, dh, dc = _cell_bwd(
+            dhf_ref[k], gf_ref[k], cf_ref[k], cpf_ref[k], wf_ref[:],
+            dhf_st[:], dcf_st[:],
+        )
+        dxf_ref[k] = d_pre
+        dhf_st[:], dcf_st[:] = dh, dc
 
-    d_pre, dh, dc = _cell_bwd(
-        dhb_ref[0], gb_ref[0], cb_ref[0], cpb_ref[0], wb_ref[:],
-        dhb_st[:], dcb_st[:],
-    )
-    dxb_ref[0] = d_pre
-    dhb_st[:], dcb_st[:] = dh, dc
+        d_pre, dh, dc = _cell_bwd(
+            dhb_ref[k], gb_ref[k], cb_ref[k], cpb_ref[k], wb_ref[:],
+            dhb_st[:], dcb_st[:],
+        )
+        dxb_ref[k] = d_pre
+        dhb_st[:], dcb_st[:] = dh, dc
 
 
 @functools.partial(jax.jit, static_argnames=())
 def _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, cp_f, cp_b, w_f, w_b):
     t, b, four_h = g_f.shape
     h_dim = four_h // 4
-    rev = lambda i: (t - 1 - i, 0, 0)
+    fold = _fold_for(t)
+    grid = t // fold
+    rev = lambda i: (grid - 1 - i, 0, 0)
     full = lambda i: (0, 0)
-    blk_x = pl.BlockSpec((1, b, four_h), rev, memory_space=pltpu.VMEM)
-    blk_h = pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM)
+    blk_x = pl.BlockSpec((fold, b, four_h), rev, memory_space=pltpu.VMEM)
+    blk_h = pl.BlockSpec((fold, b, h_dim), rev, memory_space=pltpu.VMEM)
     blk_w = pl.BlockSpec((h_dim, four_h), full, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bd_bwd_kernel,
-        grid=(t,),
+        grid=(grid,),
         in_specs=[
             blk_h, blk_h, blk_x, blk_x, blk_h, blk_h, blk_h, blk_h,
             blk_w, blk_w,
