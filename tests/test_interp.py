@@ -165,3 +165,29 @@ def test_resample_extreme_scales_respect_truncation(rng):
     filled = (np.abs(compressed[0]).sum(axis=1) > 0).sum()
     assert 90 <= filled <= 120
     assert np.abs(compressed[0, 150:]).sum() == 0
+
+
+def test_resample_draw_distributions(rng):
+    """The PRNG plumbing must produce the reference's laws: segment
+    scales ~ U(0.5, 1.5) and lengths ~ U{19..31} (ref: model.py:392-402).
+    Checked indirectly through output statistics over many keys: the
+    expected total output length for full-length input is
+    sum_s E[count_s] with count ~ (len_seg-1)*scale-ish; we bound the
+    empirical mean between the analytic extremes and check both
+    compression (<192) and truncation (=192) outcomes occur."""
+    x = jnp.asarray(np.ones((4, 192, 2), np.float32))
+    lens = jnp.full((4,), 192)
+    filled = []
+    for seed in range(50):
+        out = np.asarray(
+            random_resample(x, lens, jax.random.PRNGKey(seed))
+        )
+        nonzero = (np.abs(out).sum(-1) > 0).sum(axis=1)
+        filled.extend(nonzero.tolist())
+    filled = np.asarray(filled)
+    # 7 segments of mean source length 24.5, mean stretch 1/scale where
+    # scale~U(0.5,1.5): E[1/scale] = ln(3) ~ 1.10 -> mean total ~ 177
+    # before the 192 cap; empirically the capped mean sits in ~(150,190)
+    assert 140 < filled.mean() < 192, filled.mean()
+    assert (filled == 192).any()      # truncation occurs
+    assert (filled < 160).any()       # strong compression occurs
