@@ -151,3 +151,17 @@ def test_train_mode_runs_and_differs_from_eval(rng):
     )
     assert out_eval.shape == out_train.shape
     assert np.abs(np.asarray(out_eval) - np.asarray(out_train)).max() > 1e-4
+
+
+def test_interop_rejects_unknown_parameters():
+    from speechsplit_tpu.interop import torch_state_dict_to_params
+
+    with pytest.raises(ValueError, match="unmapped reference parameter"):
+        torch_state_dict_to_params(
+            {"encoder_9.bogus.weight": np.zeros((2, 2))}, "speechsplit"
+        )
+    # constant buffers are skipped silently (ref registers len_org)
+    out = torch_state_dict_to_params(
+        {"encoder_1.len_org": np.asarray(192)}, "speechsplit"
+    )
+    assert out == {}

@@ -105,3 +105,32 @@ def test_solver_validation_and_render(tmp_path):
     assert np.isfinite(val)
     pngs = [f for f in os.listdir(tmp_path / "samples") if f.endswith(".png")]
     assert len(pngs) == 2  # one render per validation speaker
+
+
+def test_voice_converter_long_form_windowing(tmp_path):
+    """Wavs past the 192-frame geometry trigger the convert_long path."""
+    from scipy.io import wavfile
+
+    n = 4 * FS  # ~250 frames > 192
+    wavfile.write(
+        tmp_path / "s.wav", FS, (_tone(130, n) * 32767).astype(np.int16)
+    )
+    wavfile.write(
+        tmp_path / "t.wav", FS,
+        (_tone(220, n, 1) * 32767).astype(np.int16),
+    )
+    _, g_state = create_train_state(SMALL, jax.random.PRNGKey(0))
+    _, p_state = create_train_state(
+        SMALL, jax.random.PRNGKey(1), "f0_converter"
+    )
+    from speechsplit_tpu.pipeline import VoiceConverter
+
+    vc = VoiceConverter(SMALL, g_state.params, p_state.params)
+    out = vc.convert_wav_files(
+        str(tmp_path / "s.wav"), str(tmp_path / "t.wav"),
+        conditions=("U",), synthesize=False,
+    )
+    mel = out["U"]["mel"]
+    assert mel.shape == (n // 256 + 1, 80)  # full length, not truncated
+    assert np.isfinite(mel).all()
+    assert (np.abs(mel).sum(axis=1) > 0).all()  # no window gaps
