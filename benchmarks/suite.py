@@ -111,6 +111,47 @@ def bench_preprocess(n_meas: int = 30) -> float:
     return rate
 
 
+def bench_preprocess_device(n_meas: int = 30) -> float:
+    """Device-only mel-frames/s: the whole measurement loop runs inside
+    one jitted lax.scan, so no per-iteration host submit cost is
+    counted. This is the number a pipelined feeder approaches on a
+    normal TPU host; the end-to-end figure above is bounded by this
+    environment's device tunnel (~30 ms/dispatch round trip)."""
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from speechsplit_tpu.preprocess import extract_features
+
+    rng = np.random.RandomState(0)
+    b, n = 16, 4 * 16000
+    wavs = jnp.asarray(rng.randn(b, n).astype(np.float32) * 0.3)
+    lengths = jnp.full((b,), n, jnp.int32)
+    lo = jnp.full((b,), 50.0, jnp.float32)
+    hi = jnp.full((b,), 600.0, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run_n(x0):
+        def body(carry, i):
+            mel, _ = extract_features(
+                carry, lengths, lo, hi, jax.random.fold_in(key, i)
+            )
+            return x0 + mel[0, 0, 0] * 1e-12, mel[0, 0, 0]
+        _, outs = jax.lax.scan(body, x0, jnp.arange(n_meas))
+        return outs[-1]
+
+    o = run_n(wavs)
+    _ = float(o)
+    start = time.perf_counter()
+    for _ in range(3):
+        o = run_n(wavs)
+    _ = float(o)
+    per = (time.perf_counter() - start) / (3 * n_meas)
+    frames = b * (n // 256 + 1)
+    log(f"preprocess device-only: {per * 1e3:.2f} ms/batch")
+    return frames / per
+
+
 def bench_reference_preprocess_cpu(n_files: int = 8) -> float | None:
     """Host-side reference-style preprocessing: scipy filtfilt + numpy
     STFT/mel + the native C++ pitch tracker as the RAPT stand-in
@@ -209,6 +250,9 @@ def run_all() -> dict:
     results = {
         "train_steps_per_sec": round(bench_train(), 3),
         "preprocess_mel_frames_per_sec": round(bench_preprocess(), 1),
+        "preprocess_mel_frames_per_sec_device_only": round(
+            bench_preprocess_device(), 1
+        ),
         "conversion_utterances_per_sec": round(bench_conversion(), 2),
     }
     ref_pre = bench_reference_preprocess_cpu()
