@@ -246,6 +246,63 @@ def bench_conversion(n_meas: int = 30, n_pairs: int = 8) -> float:
     return utts / elapsed
 
 
+def bench_conversion_device(n_meas: int = 30, n_pairs: int = 8) -> float:
+    """Device-only conversion utterances/s (in-graph scan: F0 convert +
+    all 7 generator conditions per pair, no host fetches)."""
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from speechsplit_tpu.config import SpeechSplitConfig
+    from speechsplit_tpu.training.train_step import create_train_state
+
+    config = SpeechSplitConfig()
+    g_module, g_state = create_train_state(config, jax.random.PRNGKey(0))
+    p_module, p_state = create_train_state(
+        config, jax.random.PRNGKey(1), "f0_converter"
+    )
+    rng = np.random.RandomState(0)
+    p = n_pairs
+    mel_src = jnp.asarray(rng.rand(p, 192, 80), jnp.float32)
+    mel_trg = jnp.asarray(rng.rand(p, 192, 80), jnp.float32)
+    f0_src = jnp.asarray(rng.rand(p, 192, 257), jnp.float32)
+    f0_trg = jnp.asarray(rng.rand(p, 192, 257), jnp.float32)
+    emb_s = jnp.asarray(rng.rand(p, 82), jnp.float32)
+    emb_t = jnp.asarray(rng.rand(p, 82), jnp.float32)
+
+    @jax.jit
+    def run_n(x0):
+        def body(carry, i):
+            ms = carry
+            logits = p_module.apply(
+                {"params": p_state.params}, ms, f0_trg
+            )
+            f0c = jax.nn.one_hot(jnp.argmax(logits, -1), 257)
+            xo = jnp.concatenate([ms, f0_src], -1)
+            xc = jnp.concatenate([ms, f0c], -1)
+            xs = jnp.concatenate([xo, xc, xo, xc, xo, xc, xc], 0)
+            orgs = jnp.concatenate(
+                [mel_trg, ms, ms, mel_trg, mel_trg, ms, mel_trg], 0
+            )
+            embs = jnp.concatenate(
+                [emb_s, emb_s, emb_t, emb_s, emb_t, emb_t, emb_t], 0
+            )
+            out = g_module.apply({"params": g_state.params}, xs, orgs, embs)
+            return x0 + out[0, 0, 0] * 1e-12, out[0, 0, 0]
+
+        _, outs = jax.lax.scan(body, x0, jnp.arange(n_meas))
+        return outs[-1]
+
+    o = run_n(mel_src)
+    _ = float(o)
+    start = time.perf_counter()
+    for _ in range(3):
+        o = run_n(mel_src)
+    _ = float(o)
+    per = (time.perf_counter() - start) / (3 * n_meas)
+    log(f"conversion device-only: {per * 1e3:.2f} ms per {p * 7} convs")
+    return p * 7 / per
+
+
 def run_all() -> dict:
     results = {
         "train_steps_per_sec": round(bench_train(), 3),
@@ -254,6 +311,9 @@ def run_all() -> dict:
             bench_preprocess_device(), 1
         ),
         "conversion_utterances_per_sec": round(bench_conversion(), 2),
+        "conversion_utterances_per_sec_device_only": round(
+            bench_conversion_device(), 1
+        ),
     }
     ref_pre = bench_reference_preprocess_cpu()
     if ref_pre:
