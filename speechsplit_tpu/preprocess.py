@@ -166,11 +166,20 @@ def frame_count(length: int, hop: int = 256) -> int:
     return length // hop + 1
 
 
-def pad_batch(wavs: list[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
-    """Zero-pad a list of 1-D waveforms to a common multiple-of-hop length."""
+def pad_batch(
+    wavs: list[np.ndarray], bucket: int = 32768
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Zero-pad a list of 1-D waveforms to a common bucketed length.
+
+    Rounding the padded length up to a multiple of ``bucket`` (~2 s at
+    16 kHz) keeps the number of distinct compiled shapes small across a
+    variable-length corpus — each distinct batch shape costs a fresh
+    XLA compilation of the whole feature pipeline. Outputs are exact:
+    true lengths are returned and everything downstream masks by them.
+    """
     lengths = np.array([len(w) for w in wavs], np.int32)
     n = int(lengths.max())
-    n = ((n + 255) // 256) * 256  # keep frame math uniform
+    n = ((n + bucket - 1) // bucket) * bucket
     out = np.zeros((len(wavs), n), np.float32)
     for i, w in enumerate(wavs):
         out[i, : len(w)] = w
