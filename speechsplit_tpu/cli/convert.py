@@ -71,10 +71,13 @@ def main(argv=None) -> None:
     src = utterance_from_metadata(config, metadata[args.source_index])
     trg = utterance_from_metadata(config, metadata[args.target_index])
 
+    from speechsplit_tpu.config import resolve_dtype
+
+    dtype = resolve_dtype(config.compute_dtype)
     # all conditions in one batched device call
     results = convert_batched(
-        SpeechSplit(config), g_params,
-        F0Converter(config), p_params,
+        SpeechSplit(config, dtype=dtype), g_params,
+        F0Converter(config, dtype=dtype), p_params,
         [(src, trg)],
         conditions=args.conditions.split(","),
     )[0]

@@ -119,13 +119,17 @@ class SpeechSplitConfig:
         """Apply ``"key=value,key=value"`` overrides, HParams.parse-style.
 
         Values are parsed as Python literals when possible, else kept as
-        strings. Unknown keys raise ``ValueError``; reference-era aliases
-        are translated (see ``_ALIASES``).
+        strings. List/tuple values are supported with the reference's
+        grammar (``"a=1,b=[2,3]"``, tfcompat/hparam.py:523): the comma
+        split is bracket-aware, so commas inside ``[]``/``()``/``{}`` or
+        quotes do not terminate an override. Unknown keys raise
+        ``ValueError``; reference-era aliases are translated
+        (see ``_ALIASES``).
         """
         if not spec:
             return self
         updates: dict[str, Any] = {}
-        for item in spec.split(","):
+        for item in _split_overrides(spec):
             if not item.strip():
                 continue
             if "=" not in item:
@@ -139,9 +143,14 @@ class SpeechSplitConfig:
             if key not in {f.name for f in dataclasses.fields(self)}:
                 raise ValueError(f"unknown config key {key!r}")
             try:
-                updates[key] = ast.literal_eval(value.strip())
+                parsed = ast.literal_eval(value.strip())
             except (ValueError, SyntaxError):
-                updates[key] = value.strip()
+                parsed = value.strip()
+            if isinstance(parsed, list) and isinstance(
+                getattr(self, key), tuple
+            ):
+                parsed = tuple(parsed)  # e.g. mesh_shape=[2,4]
+            updates[key] = parsed
         return dataclasses.replace(self, **updates)
 
     def replace(self, **kwargs: Any) -> "SpeechSplitConfig":
@@ -164,6 +173,47 @@ class SpeechSplitConfig:
             for f in dataclasses.fields(self)
         ]
         return "Hyperparameters:\n" + "\n".join(lines)
+
+
+def _split_overrides(spec: str) -> list[str]:
+    """Split ``"a=1,b=[2,3],c='x,y'"`` on top-level commas only.
+
+    Mirrors the list grammar of the reference's ``HParams.parse``
+    (tfcompat/hparam.py:523): commas nested inside brackets or quotes are
+    part of the value, not separators.
+    """
+    items: list[str] = []
+    depth = 0
+    quote: str | None = None
+    start = 0
+    for i, ch in enumerate(spec):
+        if quote is not None:
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth = max(0, depth - 1)
+        elif ch == "," and depth == 0:
+            items.append(spec[start:i])
+            start = i + 1
+    items.append(spec[start:])
+    return items
+
+
+def resolve_dtype(name: str):
+    """Map ``config.compute_dtype`` to a jnp dtype (imported lazily so the
+    config module stays importable without initializing JAX)."""
+    import jax.numpy as jnp
+
+    table = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+    if name not in table:
+        raise ValueError(
+            f"compute_dtype must be one of {sorted(table)}, got {name!r}"
+        )
+    return table[name]
 
 
 def default_config() -> SpeechSplitConfig:

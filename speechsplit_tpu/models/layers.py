@@ -113,6 +113,10 @@ class Conv1d(nn.Module):
             (self.kernel_size, in_ch, self.features),
         )
         pad = self.dilation * (self.kernel_size - 1) // 2
+        # bf16 convs emit bf16 (the MXU still accumulates f32 internally)
+        # and are upcast after: a mixed bf16-in/f32-out conv has no
+        # transpose rule, so preferred_element_type=f32 would break grads.
+        pet = jnp.float32 if self.dtype == jnp.float32 else None
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -120,8 +124,8 @@ class Conv1d(nn.Module):
             padding=[(pad, pad)],
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
-        )
+            preferred_element_type=pet,
+        ).astype(jnp.float32)
         if self.use_bias:
             bias = self.param(
                 "bias",
@@ -178,9 +182,14 @@ def _lstm_direction(
         x_proj = jnp.flip(x_proj, axis=1)
     xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H] time-major
 
-    if dtype == jnp.float32 and pallas_lstm.supported(batch, hidden):
+    if dtype in (jnp.float32, jnp.bfloat16) and pallas_lstm.supported(
+        batch, hidden
+    ):
+        # x_proj is already f32 (the input projection accumulates in f32);
+        # only the recurrent weight is carried at compute precision — the
+        # kernel casts h to w_hh's dtype per step, mirroring the scan cell.
         hs = pallas_lstm.lstm_sequence(
-            xs.astype(jnp.float32), w_hh.astype(jnp.float32)
+            xs.astype(jnp.float32), w_hh.astype(dtype)
         )
         hs = jnp.swapaxes(hs, 0, 1)
         if reverse:
@@ -257,9 +266,9 @@ class LSTM(nn.Module):
                 + bias
             )
 
-        use_pallas = self.dtype == jnp.float32 and pallas_lstm.supported(
-            batch, h
-        )
+        use_pallas = self.dtype in (
+            jnp.float32, jnp.bfloat16
+        ) and pallas_lstm.supported(batch, h)
         for layer in range(self.num_layers):
             in_features = x.shape[-1]
             if not self.bidirectional:
@@ -279,8 +288,8 @@ class LSTM(nn.Module):
                 hs_f, hs_b = pallas_lstm.bilstm_sequence(
                     jnp.swapaxes(xp_f, 0, 1),
                     jnp.swapaxes(xp_b, 0, 1),
-                    p_f[1],
-                    p_b[1],
+                    p_f[1].astype(self.dtype),
+                    p_b[1].astype(self.dtype),
                 )
                 x = jnp.concatenate(
                     [

@@ -80,7 +80,8 @@ def _fwd_kernel(xp_ref, whh_ref, h_ref, gates_ref, c_ref, h_st, c_st):
         c_st[:] = jnp.zeros_like(c_st)
 
     gates = xp_ref[0] + jnp.dot(
-        h_st[:], whh_ref[:], preferred_element_type=jnp.float32
+        h_st[:].astype(whh_ref.dtype), whh_ref[:],
+        preferred_element_type=jnp.float32,
     )
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
@@ -109,7 +110,8 @@ def _infer_kernel(xp_ref, whh_ref, h_ref, h_st, c_st):
         c_st[:] = jnp.zeros_like(c_st)
 
     gates = xp_ref[0] + jnp.dot(
-        h_st[:], whh_ref[:], preferred_element_type=jnp.float32
+        h_st[:].astype(whh_ref.dtype), whh_ref[:],
+        preferred_element_type=jnp.float32,
     )
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c = jax.nn.sigmoid(f) * c_st[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
@@ -235,7 +237,7 @@ def _bwd_kernel(
     # [H, T*B] @ [T*B, 4H] matmul outside the kernel beats 192 skinny
     # [H, B] @ [B, 4H] accumulations on the MXU)
     dh_st[:] = jax.lax.dot_general(
-        d_pre, whh_ref[:], (((1,), (1,)), ((), ())),
+        d_pre.astype(whh_ref.dtype), whh_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dc_st[:] = dc * f
@@ -305,7 +307,8 @@ def _vjp_bwd(residuals, dh_out):
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return dxp, dwhh
+    # custom_vjp cotangents must match primal dtypes (w_hh may be bf16)
+    return dxp, dwhh.astype(w_hh.dtype)
 
 
 lstm_sequence.defvjp(_vjp_fwd, _vjp_bwd)
@@ -323,7 +326,7 @@ lstm_sequence.defvjp(_vjp_fwd, _vjp_bwd)
 
 def _cell(xp, w, h_st, c_st):
     gates = xp + jnp.dot(
-        h_st, w, preferred_element_type=jnp.float32
+        h_st.astype(w.dtype), w, preferred_element_type=jnp.float32
     )
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
@@ -472,7 +475,7 @@ def _cell_bwd(dh_out, g_all, c, c_prev, w, dh_st, dc_st):
         axis=-1,
     )
     new_dh = jax.lax.dot_general(
-        d_pre, w, (((1,), (1,)), ((), ())),
+        d_pre.astype(w.dtype), w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     return d_pre, new_dh, dc * f
@@ -573,15 +576,15 @@ def _bd_vjp_bwd(residuals, grads):
     t, b, four_h = g_f.shape
     h_dim = four_h // 4
 
-    def dw(h, dx):
+    def dw(h, dx, w):
         return jax.lax.dot_general(
             _shift(h).reshape(t * b, h_dim),
             dx.reshape(t * b, four_h),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ).astype(w.dtype)  # cotangent dtype must match the primal
 
-    return dx_f, dx_b, dw(h_f, dx_f), dw(h_b, dx_b)
+    return dx_f, dx_b, dw(h_f, dx_f, w_f), dw(h_b, dx_b, w_b)
 
 
 bilstm_sequence.defvjp(_bd_vjp_fwd, _bd_vjp_bwd)

@@ -51,9 +51,12 @@ class VoiceConverter:
         vocoder: Optional[Vocoder] = None,
         seed: int = 0,
     ):
+        from speechsplit_tpu.config import resolve_dtype
+
         self.config = config
-        self.g_module = SpeechSplit(config)
-        self.p_module = F0Converter(config)
+        dtype = resolve_dtype(config.compute_dtype)
+        self.g_module = SpeechSplit(config, dtype=dtype)
+        self.p_module = F0Converter(config, dtype=dtype)
         self.g_params = g_params
         self.p_params = p_params
         self.vocoder = vocoder or GriffinLimVocoder(

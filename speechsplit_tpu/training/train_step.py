@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from speechsplit_tpu.config import SpeechSplitConfig
+from speechsplit_tpu.config import SpeechSplitConfig, resolve_dtype
 from speechsplit_tpu.data.collator import Batch
 from speechsplit_tpu.models import F0Converter, SpeechSplit
 from speechsplit_tpu.ops.interp import random_resample
@@ -60,8 +60,9 @@ def create_train_state(
 ) -> Tuple[Any, TrainState]:
     """Initialize (model, TrainState) for 'speechsplit' or 'f0_converter'."""
     t = config.max_len_pad
+    dtype = resolve_dtype(config.compute_dtype)
     if model == "speechsplit":
-        module = SpeechSplit(config)
+        module = SpeechSplit(config, dtype=dtype)
         variables = module.init(
             {"params": key, "resample": jax.random.fold_in(key, 1)},
             jnp.zeros((1, t, config.dim_freq + config.dim_f0)),
@@ -69,7 +70,7 @@ def create_train_state(
             jnp.zeros((1, config.dim_spk_emb)),
         )
     elif model == "f0_converter":
-        module = F0Converter(config)
+        module = F0Converter(config, dtype=dtype)
         variables = module.init(
             {"params": key, "resample": jax.random.fold_in(key, 1)},
             jnp.zeros((1, t, config.dim_freq)),
@@ -115,12 +116,14 @@ def _augment_inputs(
     return jnp.concatenate([x_f0[:, :, :-1], onehot], axis=-1)
 
 
-def make_train_step(
+def make_train_step_fn(
     config: SpeechSplitConfig,
     module: SpeechSplit,
-    mesh: Optional[Mesh] = None,
 ) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Array]]:
-    """Build the jitted generator train step (optionally pjit over mesh)."""
+    """The raw (unjitted) generator train step — augmentation, forward,
+    backward, Adam. Exposed so callers can embed it in larger programs
+    (e.g. scanning K steps in one XLA program); normal use goes through
+    :func:`make_train_step`."""
     tx = make_optimizer(config)
 
     def loss_fn(params, batch: Batch, key: Array) -> Array:
@@ -147,7 +150,16 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
 
-    return _maybe_pjit(step, mesh)
+    return step
+
+
+def make_train_step(
+    config: SpeechSplitConfig,
+    module: SpeechSplit,
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, Batch, Array], Tuple[TrainState, Array]]:
+    """Build the jitted generator train step (optionally pjit over mesh)."""
+    return _maybe_pjit(make_train_step_fn(config, module), mesh)
 
 
 def make_f0_train_step(

@@ -36,6 +36,23 @@ def test_parse_reference_aliases():
     assert cfg.n_repeats == 4  # `samplier` typo mapped (hparams.py:41)
 
 
+def test_parse_list_values():
+    """List grammar parity with HParams.parse (tfcompat/hparam.py:523):
+    commas inside brackets do not split overrides."""
+    cfg = default_config().parse("batch_size=1,mesh_shape=[2,4]")
+    assert cfg.batch_size == 1
+    assert cfg.mesh_shape == (2, 4)  # coerced to the field's tuple type
+    cfg = default_config().parse("mesh_axes=('data','model'),dim_neck=16")
+    assert cfg.mesh_axes == ("data", "model")
+    assert cfg.dim_neck == 16
+
+
+def test_parse_quoted_value_with_comma():
+    cfg = default_config().parse("root_dir='a,b',mode=eval")
+    assert cfg.root_dir == "a,b"
+    assert cfg.mode == "eval"
+
+
 def test_parse_unknown_key_raises():
     with pytest.raises(ValueError, match="unknown config key"):
         default_config().parse("not_a_key=3")

@@ -36,3 +36,45 @@ def test_bfloat16_compute(rng):
     model32 = SpeechSplit(CFG)
     out32 = model32.apply(variables, x_f0, x_org, emb)
     assert np.abs(np.asarray(out) - np.asarray(out32)).max() < 0.1
+
+
+def test_compute_dtype_wired_from_config(rng):
+    """config.compute_dtype must reach model construction (VERDICT r1 #3):
+    create_train_state builds bf16-compute modules, params stay f32, and a
+    full train step runs finite."""
+    from speechsplit_tpu.data.collator import Batch
+    from speechsplit_tpu.training.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = CFG.replace(compute_dtype="bfloat16", batch_size=2)
+    module, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    assert module.dtype == jnp.bfloat16
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32
+
+    b, t = cfg.batch_size, cfg.max_len_pad
+    batch = Batch(
+        mel=rng.rand(b, t, cfg.dim_freq).astype(np.float32),
+        spk_emb=np.eye(b, cfg.dim_spk_emb, dtype=np.float32),
+        f0=rng.rand(b, t, 1).astype(np.float32),
+        len_org=np.full((b,), cfg.min_len_seq, np.int32),
+    )
+    step = make_train_step(cfg, module)
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # updated params keep the f32 storage dtype
+    for leaf in jax.tree.leaves(state.params):
+        assert leaf.dtype == jnp.float32
+
+
+def test_resolve_dtype_rejects_unknown():
+    import pytest
+
+    from speechsplit_tpu.config import resolve_dtype
+
+    assert resolve_dtype("float32") == jnp.float32
+    assert resolve_dtype("bfloat16") == jnp.bfloat16
+    with pytest.raises(ValueError, match="compute_dtype"):
+        resolve_dtype("float16")

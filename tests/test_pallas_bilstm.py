@@ -41,6 +41,26 @@ def test_bilstm_layer_matches_scan_path(rng):
     )
 
 
+def test_bilstm_layer_bf16_matches_bf16_scan(rng):
+    """dtype=bfloat16 module: merged-bidir Pallas path vs scan path must
+    agree exactly — both cast h to bf16 for the recurrent matmul and keep
+    f32 state."""
+    x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+    lstm = LSTM(hidden_size=H, num_layers=2, bidirectional=True,
+                dtype=jnp.bfloat16)
+    params = lstm.init(jax.random.PRNGKey(2), x)
+
+    out_pallas = lstm.apply(params, x)  # FORCE_INTERPRET => pallas path
+    assert out_pallas.dtype == jnp.float32
+
+    pallas_lstm.FORCE_INTERPRET = False  # supported() now False on CPU
+    out_scan = lstm.apply(params, x)
+
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_scan), atol=1e-5
+    )
+
+
 def test_bilstm_layer_gradients_match(rng):
     x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
     lstm = LSTM(hidden_size=H, num_layers=1, bidirectional=True)

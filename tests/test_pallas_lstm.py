@@ -109,6 +109,54 @@ def test_bf16_residuals_gradients_close():
         assert np.abs(a - b).max() / denom < 0.02
 
 
+def test_bf16_weight_forward_matches_bf16_scan():
+    """bf16 recurrent weights (compute_dtype=bfloat16): the kernel must
+    match a scan cell using the identical precision policy — h cast to
+    bf16 for the recurrent matmul, f32 accumulate/state."""
+    x_proj, w_hh = _inputs(7)
+    w_bf16 = w_hh.astype(jnp.bfloat16)
+
+    def cell(carry, xt):
+        h, c = carry
+        gates = xt + jnp.dot(
+            h.astype(jnp.bfloat16), w_bf16,
+            preferred_element_type=jnp.float32,
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+    expected = np.asarray(jax.lax.scan(cell, init, x_proj)[1])
+    got = np.asarray(pallas_lstm.lstm_sequence(x_proj, w_bf16))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_bf16_weight_gradients_close_to_f32():
+    """bf16-weight gradients stay within mixed-precision tolerance of the
+    f32 kernel path, and cotangent dtypes match the primals."""
+    x_proj, w_hh = _inputs(8)
+    target = jnp.asarray(
+        np.random.RandomState(9).randn(T, B, H).astype(np.float32)
+    )
+
+    def loss(xp, w):
+        return jnp.mean(
+            jnp.square(pallas_lstm.lstm_sequence(xp, w) - target)
+        )
+
+    g32 = jax.grad(loss, argnums=(0, 1))(x_proj, w_hh)
+    g16 = jax.grad(loss, argnums=(0, 1))(x_proj, w_hh.astype(jnp.bfloat16))
+    assert g16[0].dtype == jnp.float32
+    assert g16[1].dtype == jnp.bfloat16
+    for a, b in zip(g32, g16):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / denom < 0.03
+
+
 def test_supported_predicate():
     assert pallas_lstm.supported(8, 128)
     assert pallas_lstm.supported(16, 512)
