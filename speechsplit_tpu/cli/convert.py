@@ -49,6 +49,11 @@ def main(argv=None) -> None:
         help="comma-separated subset of the 7 conditions",
     )
     parser.add_argument("--synthesize", action="store_true")
+    parser.add_argument(
+        "--vocoder_ckpt", default="",
+        help="neural vocoder checkpoint dir (cli.train_vocoder output); "
+        "default synthesizes with the built-in Griffin-Lim",
+    )
     parser.add_argument("--hparams", default="", help="k=v,k=v overrides")
     args = parser.parse_args(argv)
 
@@ -85,9 +90,14 @@ def main(argv=None) -> None:
     os.makedirs(args.out_dir, exist_ok=True)
     wavs = None
     if args.synthesize:
-        from speechsplit_tpu.vocoder import GriffinLimVocoder
+        if args.vocoder_ckpt:
+            from speechsplit_tpu.vocoder_neural import load_vocoder
 
-        vocoder = GriffinLimVocoder()
+            vocoder = load_vocoder(args.vocoder_ckpt)
+        else:
+            from speechsplit_tpu.vocoder import GriffinLimVocoder
+
+            vocoder = GriffinLimVocoder()
         wavs = vocoder.synthesize_batch([mel for _, mel in results])
     for i, (name, mel) in enumerate(results):
         np.save(os.path.join(args.out_dir, name + ".npy"), mel)

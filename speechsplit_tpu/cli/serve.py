@@ -131,6 +131,10 @@ def main(argv=None) -> None:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8571)
     parser.add_argument("--out_dir", default="results")
+    parser.add_argument(
+        "--vocoder_ckpt", default="",
+        help="neural vocoder checkpoint dir; default = Griffin-Lim",
+    )
     parser.add_argument("--hparams", default="")
     args = parser.parse_args(argv)
 
@@ -140,8 +144,16 @@ def main(argv=None) -> None:
 
     enable_compile_cache()
     config = SpeechSplitConfig().parse(args.hparams)
+    vocoder = None
+    if args.vocoder_ckpt:
+        from speechsplit_tpu.vocoder_neural import load_vocoder
+
+        vocoder = load_vocoder(
+            args.vocoder_ckpt, hop=config.hop_length,
+            sample_rate=config.sample_rate,
+        )
     converter = VoiceConverter.from_checkpoints(
-        args.generator_ckpt, args.f0_ckpt, config=config
+        args.generator_ckpt, args.f0_ckpt, config=config, vocoder=vocoder
     )
     server = HTTPServer(
         (args.host, args.port), build_handler(converter, args.out_dir)

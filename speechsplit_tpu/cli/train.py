@@ -61,6 +61,13 @@ def main(argv=None) -> None:
         "--num_devices", type=int, default=0,
         help="devices in the data mesh (0 = all available)",
     )
+    parser.add_argument(
+        "--steps_per_dispatch", type=int, default=1,
+        help="stage N batches per transfer and run them as one XLA "
+        "dispatch (lax.scan over train steps); must divide the log/save/"
+        "sample cadences. Identical training trajectory, amortizes the "
+        "fixed per-dispatch host cost",
+    )
     args = parser.parse_args(argv)
 
     from speechsplit_tpu.utils import enable_compile_cache
@@ -108,6 +115,7 @@ def main(argv=None) -> None:
         compress_transfers=args.compress_transfers,
         keep_checkpoints=args.keep_checkpoints,
         profile_dir=args.profile_dir,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     Solver(loader, run_config, config, mesh=mesh).train()
 

@@ -1,0 +1,131 @@
+"""Train the neural (iSTFT-head) vocoder on a directory of wavs.
+
+The reference has no counterpart: it points users at an external
+pretrained WaveNet (README.md:40-44). Here the vocoder trains from the
+same wav corpus the voice-conversion models use, with mels computed by
+this repo's own front-end so train and inference see identical
+normalization.
+
+    python -m speechsplit_tpu.cli.train_vocoder --wav_dir assets/wavs \
+        --save_dir run/vocoder --num_iters 50000
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def _load_corpus(wav_dir: str, limit: int | None = None):
+    import numpy as np
+
+    from speechsplit_tpu.data.prepare import read_wav
+
+    wavs = []
+    for root, _dirs, files in sorted(os.walk(wav_dir)):
+        for name in sorted(files):
+            if name.endswith(".wav"):
+                wavs.append(read_wav(os.path.join(root, name)))
+                if limit and len(wavs) >= limit:
+                    return wavs
+    if not wavs:
+        raise FileNotFoundError(f"no .wav files under {wav_dir}")
+    return wavs
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--wav_dir", required=True)
+    ap.add_argument("--save_dir", default="run/vocoder")
+    ap.add_argument("--num_iters", type=int, default=50_000)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--crop_frames", type=int, default=64)
+    ap.add_argument("--channels", type=int, default=256)
+    ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--learning_rate", type=float, default=2e-4)
+    ap.add_argument("--log_step", type=int, default=100)
+    ap.add_argument("--save_step", type=int, default=5000)
+    ap.add_argument("--max_files", type=int, default=0,
+                    help="cap corpus size (0 = all)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from speechsplit_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speechsplit_tpu.config import SpeechSplitConfig
+    from speechsplit_tpu.preprocess import extract_features
+    from speechsplit_tpu.vocoder_neural import (
+        VocoderTrainer,
+        make_crops,
+        save_vocoder,
+    )
+
+    config = SpeechSplitConfig()
+    wavs = _load_corpus(args.wav_dir, args.max_files or None)
+    print(f"corpus: {len(wavs)} wavs")
+
+    # front-end mels, one utterance per device call (variable lengths)
+    mels = []
+    for w in wavs:
+        mel, _f0 = extract_features(
+            jnp.asarray(w)[None, :],
+            jnp.asarray([len(w)]),
+            jnp.asarray([50.0], jnp.float32),
+            jnp.asarray([600.0], jnp.float32),
+            jax.random.PRNGKey(0),
+        )
+        mels.append(np.asarray(mel)[0, : len(w) // config.hop_length + 1])
+    print("front-end mels computed")
+
+    trainer = VocoderTrainer(
+        n_fft=config.fft_length,
+        hop=config.hop_length,
+        channels=args.channels,
+        depth=args.depth,
+        learning_rate=args.learning_rate,
+        sample_rate=config.sample_rate,
+        n_mels=config.dim_freq,
+        fmin=config.mel_fmin,
+        fmax=config.mel_fmax,
+    )
+    state = trainer.init(jax.random.PRNGKey(args.seed), args.crop_frames)
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree.leaves(state.params)
+    )
+    print(f"V: {n_params} parameters")
+
+    rng = np.random.RandomState(args.seed)
+    os.makedirs(args.save_dir, exist_ok=True)
+    start = time.time()
+    for i in range(args.num_iters):
+        mb, wb = make_crops(
+            wavs, mels, args.batch_size, args.crop_frames,
+            config.hop_length, rng,
+        )
+        state, loss = trainer.step(state, jnp.asarray(mb), jnp.asarray(wb))
+        if (i + 1) % args.log_step == 0:
+            loss_val = float(loss)
+            if not np.isfinite(loss_val):
+                raise FloatingPointError(f"loss {loss_val} at {i + 1}")
+            rate = (i + 1) / (time.time() - start)
+            print(
+                f"iter {i + 1}/{args.num_iters} loss {loss_val:.4f} "
+                f"({rate:.1f} steps/s)",
+                flush=True,
+            )
+        if (i + 1) % args.save_step == 0 or (i + 1) == args.num_iters:
+            path = save_vocoder(
+                os.path.join(args.save_dir, f"{i + 1}-V"), state.params
+            )
+            print(f"saved {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

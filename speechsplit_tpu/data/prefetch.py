@@ -19,6 +19,25 @@ import ml_dtypes
 import numpy as np
 
 
+def stack_batches(iterator: Iterator[Any], k: int) -> Iterator[Any]:
+    """Group k host batches into one super-batch with a leading [k] axis.
+
+    Feed the result through :func:`prefetch_to_device` into
+    ``make_train_multi_step``: one transfer + one dispatch then advances
+    the model k steps, amortizing the fixed per-dispatch host cost
+    (VERDICT r1 #6). A trailing group smaller than k is dropped (the
+    sampler is infinite in training, so nothing is lost in practice).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    group = []
+    for batch in iterator:
+        group.append(batch)
+        if len(group) == k:
+            yield jax.tree.map(lambda *xs: np.stack(xs), *group)
+            group = []
+
+
 def prefetch_to_device(
     iterator: Iterator[Any],
     *,

@@ -160,6 +160,20 @@ class GroupNorm(nn.Module):
         return xg.reshape(b, t, c) * scale + bias
 
 
+def _recurrent_dtype(dtype: Dtype, hidden: int) -> Dtype:
+    """Effective dtype for the recurrent weights of an H-wide LSTM.
+
+    Mosaic cannot lower a bf16 H=1 recurrence (a `vector.broadcast`
+    verification failure on the [B, 4] gate vector, observed on v5e);
+    the sub-lane bottleneck LSTMs are negligible FLOPs anyway, so bf16
+    applies only from H >= 2. Applied identically on the Pallas and scan
+    paths so their numerics stay interchangeable.
+    """
+    if dtype == jnp.bfloat16 and hidden < 2:
+        return jnp.float32
+    return dtype
+
+
 def _lstm_direction(
     x_proj: Array, w_hh: Array, reverse: bool, dtype: Dtype
 ) -> Array:
@@ -178,6 +192,7 @@ def _lstm_direction(
 
     batch, _, four_h = x_proj.shape
     hidden = four_h // 4
+    dtype = _recurrent_dtype(dtype, hidden)
     if reverse:
         x_proj = jnp.flip(x_proj, axis=1)
     xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H] time-major
@@ -280,16 +295,19 @@ class LSTM(nn.Module):
 
             p_f = make_params(f"l{layer}", in_features)
             p_b = make_params(f"l{layer}_reverse", in_features)
-            if use_pallas:
+            if use_pallas and pallas_lstm.merged_bidir_fits(
+                x.shape[1], batch, h
+            ):
                 # both directions advance in ONE kernel grid; the
                 # backward stream is fed (and returned) time-reversed
                 xp_f = project(x, p_f[0], p_f[2])
                 xp_b = project(jnp.flip(x, axis=1), p_b[0], p_b[2])
+                w_dtype = _recurrent_dtype(self.dtype, h)
                 hs_f, hs_b = pallas_lstm.bilstm_sequence(
                     jnp.swapaxes(xp_f, 0, 1),
                     jnp.swapaxes(xp_b, 0, 1),
-                    p_f[1].astype(self.dtype),
-                    p_b[1].astype(self.dtype),
+                    p_f[1].astype(w_dtype),
+                    p_b[1].astype(w_dtype),
                 )
                 x = jnp.concatenate(
                     [

@@ -372,15 +372,52 @@ def _bd_fwd_kernel(
         hb_st[:], cb_st[:] = h, c
 
 
-def _fold_for(t: int) -> int:
-    return FOLD if t % FOLD == 0 else 1
+_SCOPED_VMEM_BYTES = 16 * 1024 * 1024  # Mosaic scoped-vmem stack limit
+
+
+def _bd_vmem_bytes(fold: int, b: int, h: int) -> float:
+    """Estimated scoped-VMEM stack for the merged-bidir kernels.
+
+    Resident weights + ~1.5x one fold-block set (Mosaic partially
+    double-buffers the streamed blocks) + carry scratch. Calibrated
+    against measured compiles at H=512: (fold 2, b 64) reports 16.5 MB
+    (OOM by 0.5 MB); (fold 4, b 32) fits. The backward kernel streams
+    slightly more than the forward (22 vs 20 H-units per fold step), so
+    the estimate uses the backward's footprint.
+    """
+    weights = 2 * h * (4 * h) * 4
+    block_set = 22 * fold * b * h * 4
+    scratch = 4 * b * h * 4
+    return weights + 1.5 * block_set + scratch
+
+
+def merged_bidir_fits(t: int, b: int, h: int) -> bool:
+    """Can the merged-bidirectional kernel pair compile for this shape?
+
+    When False, the LSTM layer runs the two directions as separate
+    single-direction Pallas kernels (half the resident weights and
+    streams per kernel) — still fused recurrences, just not co-scheduled.
+    """
+    return _bd_vmem_bytes(_fold_for(t, b, h), b, h) <= 0.95 * (
+        _SCOPED_VMEM_BYTES
+    )
+
+
+def _fold_for(t: int, b: int, h: int) -> int:
+    """Largest fold <= FOLD that divides t and fits the VMEM budget."""
+    for fold in range(FOLD, 1, -1):
+        if t % fold == 0 and _bd_vmem_bytes(
+            fold, b, h
+        ) <= 0.95 * _SCOPED_VMEM_BYTES:
+            return fold
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("residual_dtype",))
 def _bd_fwd(xp_f, xp_b, w_f, w_b, residual_dtype=jnp.float32):
     t, b, four_h = xp_f.shape
     h_dim = four_h // 4
-    fold = _fold_for(t)
+    fold = _fold_for(t, b, h_dim)
     seq = lambda i: (i, 0, 0)
     full = lambda i: (0, 0)
     blk_x = pl.BlockSpec((fold, b, four_h), seq, memory_space=pltpu.VMEM)
@@ -432,7 +469,7 @@ def _bd_infer_kernel(
 def _bd_infer(xp_f, xp_b, w_f, w_b):
     t, b, four_h = xp_f.shape
     h_dim = four_h // 4
-    fold = _fold_for(t)
+    fold = _fold_for(t, b, h_dim)
     seq = lambda i: (i, 0, 0)
     full = lambda i: (0, 0)
     blk_x = pl.BlockSpec((fold, b, four_h), seq, memory_space=pltpu.VMEM)
@@ -515,7 +552,7 @@ def _bd_bwd_kernel(
 def _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, cp_f, cp_b, w_f, w_b):
     t, b, four_h = g_f.shape
     h_dim = four_h // 4
-    fold = _fold_for(t)
+    fold = _fold_for(t, b, h_dim)
     grid = t // fold
     rev = lambda i: (grid - 1 - i, 0, 0)
     full = lambda i: (0, 0)

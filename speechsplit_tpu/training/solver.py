@@ -22,7 +22,7 @@ import numpy as np
 
 from speechsplit_tpu.config import SpeechSplitConfig
 from speechsplit_tpu.data.collator import Batch
-from speechsplit_tpu.data.prefetch import prefetch_to_device
+from speechsplit_tpu.data.prefetch import prefetch_to_device, stack_batches
 from speechsplit_tpu.ops.masks import pad_time_axis
 from speechsplit_tpu.ops.quantize import quantize_f0_onehot
 from speechsplit_tpu.training import checkpoint as ckpt_lib
@@ -30,6 +30,7 @@ from speechsplit_tpu.training.train_step import (
     TrainState,
     create_train_state,
     make_f0_train_step,
+    make_train_multi_step,
     make_train_step,
 )
 from speechsplit_tpu.utils.profiling import StepTimer
@@ -56,6 +57,13 @@ class SolverConfig:
     profile_steps: int = 5
     compress_transfers: bool = False  # bf16 host->device feature feed
     keep_checkpoints: int = 0         # 0 = keep all (reference behavior)
+    # >1: stage this many batches per transfer and advance them in ONE
+    # XLA dispatch (lax.scan over train steps) — amortizes the fixed
+    # per-dispatch host cost so the sustained loop approaches the
+    # resident-batch step rate. Must divide log/save/sample steps and
+    # num_iters (events land on dispatch boundaries). Same training
+    # trajectory as steps_per_dispatch=1 (identical RNG streams).
+    steps_per_dispatch: int = 1
 
 
 class Solver:
@@ -74,12 +82,15 @@ class Solver:
         self.module, self.state = create_train_state(
             config, jax.random.PRNGKey(run_config.seed), run_config.model
         )
-        if run_config.model == "speechsplit":
+        self.tag = "G" if run_config.model == "speechsplit" else "P"
+        if run_config.steps_per_dispatch > 1:
+            self.train_step = make_train_multi_step(
+                config, self.module, mesh, run_config.model
+            )
+        elif run_config.model == "speechsplit":
             self.train_step = make_train_step(config, self.module, mesh)
-            self.tag = "G"
         else:
             self.train_step = make_f0_train_step(config, self.module, mesh)
-            self.tag = "P"
         self.base_key = jax.random.PRNGKey(run_config.seed + 1)
 
         n_params = sum(
@@ -123,30 +134,51 @@ class Solver:
                 rc.model_save_dir, rc.resume_iters, self.state, self.tag
             )
 
-        batches = prefetch_to_device(
-            self.loader, compress=rc.compress_transfers
-        )
+        k = rc.steps_per_dispatch
+        if k > 1:
+            for name, val in (
+                ("log_step", rc.log_step),
+                ("model_save_step", rc.model_save_step),
+                ("sample_step", rc.sample_step),
+                ("num_iters", rc.num_iters),
+            ):
+                if val % k:
+                    raise ValueError(
+                        f"steps_per_dispatch={k} must divide {name}={val} "
+                        "so logging/checkpoint events land on dispatch "
+                        "boundaries"
+                    )
+        loader = stack_batches(self.loader, k) if k > 1 else self.loader
+        batches = prefetch_to_device(loader, compress=rc.compress_transfers)
         print("Start training...")
         start_time = time.time()
         timer = StepTimer()
 
-        for i in range(start_iters, num_iters):
+        profiling = False
+        for i in range(start_iters, num_iters, k):
             batch = next(batches)
-            if rc.profile_dir and i == start_iters + rc.profile_start:
+            if (
+                rc.profile_dir
+                and not profiling
+                and i >= start_iters + rc.profile_start
+            ):
                 jax.profiler.start_trace(rc.profile_dir)
+                profile_end = i + rc.profile_steps
+                profiling = True
             self.state, loss = self.train_step(
                 self.state, batch, self.base_key
             )
-            timer.tick()
-            if rc.profile_dir and i == (
-                start_iters + rc.profile_start + rc.profile_steps
-            ):
+            timer.tick(k)
+            if profiling and i + k > profile_end:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()
+                profiling = False
                 print(f"Wrote profiler trace to {rc.profile_dir}")
+                rc = dataclasses.replace(rc, profile_dir="")  # once only
+            i = i + k - 1  # end-of-dispatch iteration for bookkeeping
 
             if (i + 1) % rc.log_step == 0:
-                loss_val = float(loss)
+                loss_val = float(loss if k == 1 else loss[-1])
                 if not np.isfinite(loss_val):
                     raise FloatingPointError(
                         f"non-finite loss {loss_val} at step {i + 1}; "

@@ -34,17 +34,21 @@ def profile_trace(log_dir: Optional[str]) -> Iterator[None]:
 
 
 class StepTimer:
-    """EMA step timer: call .tick() once per training step."""
+    """EMA step timer: call .tick() once per training dispatch.
+
+    ``tick(k)`` credits k steps to the elapsed interval (multi-step
+    dispatches): the EMA tracks per-step latency either way.
+    """
 
     def __init__(self, ema: float = 0.98):
         self.ema = ema
         self.avg: Optional[float] = None
         self._last: Optional[float] = None
 
-    def tick(self) -> None:
+    def tick(self, steps: int = 1) -> None:
         now = time.perf_counter()
         if self._last is not None:
-            dt = now - self._last
+            dt = (now - self._last) / max(steps, 1)
             self.avg = (
                 dt if self.avg is None
                 else self.ema * self.avg + (1 - self.ema) * dt

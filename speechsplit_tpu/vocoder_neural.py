@@ -1,0 +1,341 @@
+"""Trainable neural vocoder: mel -> complex STFT -> iSTFT waveform.
+
+Closes the synthesis-quality gap left by the reference, which delegates
+to an out-of-band 1M-step WaveNet checkpoint (demo.ipynb cell-1,
+README.md:32-44) and ships neither vocoder code nor training for it.
+This module is a TPU-first alternative in the iSTFT-head family
+(Vocos / iSTFTNet lineage, PAPERS.md): a dilated-conv backbone predicts
+log-magnitude and phase (as a cos/sin pair) for every STFT bin, and a
+differentiable inverse STFT renders the waveform — no autoregression,
+no upsampling stacks; one forward = one waveform, everything on the MXU
+except the cheap irfft/overlap-add.
+
+Training (see :class:`VocoderTrainer`) needs only (wav, mel) pairs from
+the repo's own front-end and a multi-resolution STFT + mel loss; no GAN
+is used, keeping the objective deterministic and the training loop a
+single fused XLA program. Quality target: beat the built-in
+mel-consistency Griffin-Lim (~1.1 dB mel resynthesis error) at a
+fraction of its iterative synthesis cost.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+
+from speechsplit_tpu.models.layers import Conv1d, Linear
+from speechsplit_tpu.ops.stft import hann_window, mel_filterbank
+from speechsplit_tpu.vocoder import _istft
+
+Array = jax.Array
+
+
+class ConvNeXtBlock(nn.Module):
+    """Depthwise-free ConvNeXt-ish residual block on [B, T, C].
+
+    A dilated kernel-5 conv mixes time, a pointwise MLP mixes channels;
+    LayerNorm + GELU. All matmul-shaped work (pointwise convs) lands on
+    the MXU as [B*T, C] GEMMs.
+    """
+
+    channels: int
+    dilation: int = 1
+    hidden_mult: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        r = x
+        x = Conv1d(
+            self.channels, kernel_size=5, dilation=self.dilation,
+            dtype=self.dtype, name="conv_time",
+        )(x)
+        x = nn.LayerNorm(name="norm")(x)
+        x = Linear(
+            self.hidden_mult * self.channels, dtype=self.dtype, name="mlp_in"
+        )(x)
+        x = nn.gelu(x)
+        x = Linear(self.channels, dtype=self.dtype, name="mlp_out")(x)
+        return r + x
+
+
+class MelToSpec(nn.Module):
+    """Backbone: mel [B, T, M] -> (log_mag, cos, sin) each [B, T, F]."""
+
+    n_fft: int = 1024
+    channels: int = 256
+    depth: int = 6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: Array) -> Tuple[Array, Array, Array]:
+        f_bins = self.n_fft // 2 + 1
+        x = Linear(self.channels, dtype=self.dtype, name="embed")(mel)
+        for i in range(self.depth):
+            x = ConvNeXtBlock(
+                self.channels, dilation=(1, 2, 4)[i % 3],
+                dtype=self.dtype, name=f"block_{i}",
+            )(x)
+        x = nn.LayerNorm(name="final_norm")(x)
+        head = Linear(3 * f_bins, dtype=self.dtype, name="head")(x)
+        log_mag, p_cos, p_sin = jnp.split(head, 3, axis=-1)
+        # bound the magnitude exponent for train-time stability
+        log_mag = jnp.clip(log_mag, -11.0, 5.0)
+        return log_mag, p_cos, p_sin
+
+
+class NeuralVocoderModel(nn.Module):
+    """mel [B, T, M] -> waveform [B, (T-1)*hop]."""
+
+    n_fft: int = 1024
+    hop: int = 256
+    channels: int = 256
+    depth: int = 6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: Array) -> Array:
+        log_mag, p_cos, p_sin = MelToSpec(
+            self.n_fft, self.channels, self.depth, self.dtype,
+            name="backbone",
+        )(mel)
+        norm = jax.lax.rsqrt(p_cos**2 + p_sin**2 + 1e-7)
+        spec = jnp.exp(log_mag) * (
+            p_cos * norm + 1j * p_sin * norm
+        )
+        return _istft(spec, self.n_fft, self.hop)
+
+
+# ----------------------------------------------------------------- loss
+
+
+def _stft_mag(x: Array, n_fft: int, hop: int) -> Array:
+    from speechsplit_tpu.ops.stft import frame_signal
+
+    window = jnp.asarray(hann_window(n_fft), x.dtype)
+    frames = frame_signal(x, n_fft, hop)
+    return jnp.abs(jnp.fft.rfft(frames * window, n=n_fft, axis=-1))
+
+
+def multi_resolution_stft_loss(
+    pred: Array,
+    target: Array,
+    resolutions: Sequence[Tuple[int, int]] = (
+        (512, 128), (1024, 256), (2048, 512),
+    ),
+) -> Array:
+    """Spectral-convergence + log-magnitude L1 over several resolutions
+    (Yamamoto et al., Parallel WaveGAN — the standard iSTFT-vocoder
+    reconstruction objective)."""
+    total = 0.0
+    for n_fft, hop in resolutions:
+        mp = _stft_mag(pred, n_fft, hop)
+        mt = _stft_mag(target, n_fft, hop)
+        sc = jnp.linalg.norm(mt - mp) / jnp.maximum(
+            jnp.linalg.norm(mt), 1e-6
+        )
+        logl1 = jnp.mean(
+            jnp.abs(jnp.log(mp + 1e-5) - jnp.log(mt + 1e-5))
+        )
+        total = total + sc + logl1
+    return total / len(resolutions)
+
+
+def mel_db_l1(
+    pred: Array, target: Array, basis: Array, n_fft: int, hop: int
+) -> Array:
+    """Mean |dB| error between the two signals' mel spectrograms — the
+    metric GriffinLimVocoder is graded on (tests/test_vocoder.py)."""
+    mp = jnp.maximum(_stft_mag(pred, n_fft, hop) @ basis, 1e-5)
+    mt = jnp.maximum(_stft_mag(target, n_fft, hop) @ basis, 1e-5)
+    return jnp.mean(jnp.abs(20.0 * (jnp.log10(mp) - jnp.log10(mt))))
+
+
+# ------------------------------------------------------------- training
+
+
+class VocoderState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+class VocoderTrainer:
+    """Single-program training step for the neural vocoder.
+
+    Consumes aligned (mel [B, T, M], wav [B, (T-1)*hop]) crops produced
+    by :func:`make_crops` from the repo's own front-end features.
+    """
+
+    def __init__(
+        self,
+        n_fft: int = 1024,
+        hop: int = 256,
+        channels: int = 256,
+        depth: int = 6,
+        learning_rate: float = 2e-4,
+        mel_weight: float = 1.0,
+        sample_rate: int = 16000,
+        n_mels: int = 80,
+        fmin: float = 90.0,
+        fmax: float = 7600.0,
+    ):
+        self.model = NeuralVocoderModel(n_fft, hop, channels, depth)
+        self.n_fft, self.hop = n_fft, hop
+        self.tx = optax.adamw(learning_rate, weight_decay=1e-4)
+        self.basis = jnp.asarray(
+            mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
+        )
+        self.mel_weight = mel_weight
+        self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+
+    def init(self, key: Array, t_frames: int, n_mels: int = 80):
+        params = self.model.init(
+            key, jnp.zeros((1, t_frames, n_mels))
+        )["params"]
+        return VocoderState(
+            params=params,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def loss_fn(self, params, mel: Array, wav: Array) -> Array:
+        pred = self.model.apply({"params": params}, mel)
+        n = min(pred.shape[-1], wav.shape[-1])
+        pred, wav = pred[..., :n], wav[..., :n]
+        loss = multi_resolution_stft_loss(pred, wav)
+        if self.mel_weight:
+            loss = loss + self.mel_weight * 0.05 * mel_db_l1(
+                pred, wav, self.basis, self.n_fft, self.hop
+            )
+        return loss
+
+    def _step_impl(self, state: VocoderState, mel: Array, wav: Array):
+        loss, grads = jax.value_and_grad(self.loss_fn)(
+            state.params, mel, wav
+        )
+        updates, opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        return VocoderState(params, opt_state, state.step + 1), loss
+
+    def step(self, state: VocoderState, mel: Array, wav: Array):
+        return self._step(state, mel, wav)
+
+
+def make_crops(
+    wavs: Sequence[np.ndarray],
+    mels: Sequence[np.ndarray],
+    batch: int,
+    t_frames: int,
+    hop: int,
+    rng: np.random.RandomState,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sample aligned random (mel, wav) crops for one training batch.
+
+    mels[i] must be the front-end features of wavs[i] (one frame per
+    ``hop`` samples). Returns (mel [B, t_frames, M], wav
+    [B, (t_frames-1)*hop]).
+    """
+    n_wav = (t_frames - 1) * hop
+    mel_out = np.zeros((batch, t_frames, mels[0].shape[1]), np.float32)
+    wav_out = np.zeros((batch, n_wav), np.float32)
+    for i in range(batch):
+        j = rng.randint(0, len(wavs))
+        mel, wav = mels[j], wavs[j]
+        max_start = max(len(mel) - t_frames, 0)
+        s = rng.randint(0, max_start + 1)
+        m = mel[s : s + t_frames]
+        mel_out[i, : len(m)] = m
+        w = wav[s * hop : s * hop + n_wav]
+        wav_out[i, : len(w)] = w
+    return mel_out, wav_out
+
+
+# ------------------------------------------------------------ inference
+
+
+class NeuralVocoder:
+    """Vocoder-protocol wrapper around trained NeuralVocoderModel params.
+
+    Input is the pipeline's normalized mel ([0,1] dB-scaled, the
+    make_spect_f0.py:58-61 convention); the model was trained on the
+    same normalization, so no conversion happens here.
+    """
+
+    def __init__(
+        self,
+        params,
+        n_fft: int = 1024,
+        hop: int = 256,
+        channels: int = 256,
+        depth: int = 6,
+        sample_rate: int = 16000,
+    ):
+        self.model = NeuralVocoderModel(n_fft, hop, channels, depth)
+        self.params = params
+        self.hop = hop
+        self.sample_rate = sample_rate
+        self._apply = jax.jit(
+            lambda p, mel: self.model.apply({"params": p}, mel)
+        )
+
+    def __call__(self, mel: np.ndarray) -> np.ndarray:
+        return self.synthesize_batch([np.asarray(mel)])[0]
+
+    def synthesize_batch(
+        self, mels: "list[np.ndarray]"
+    ) -> "list[np.ndarray]":
+        t_max = max(len(m) for m in mels)
+        batch = np.zeros(
+            (len(mels), t_max, mels[0].shape[1]), np.float32
+        )
+        for i, m in enumerate(mels):
+            batch[i, : len(m)] = m
+        wavs = np.asarray(self._apply(self.params, jnp.asarray(batch)))
+        out = []
+        for i, m in enumerate(mels):
+            n = (len(m) - 1) * self.hop
+            w = wavs[i, :n]
+            peak = max(float(np.abs(w).max()), 1e-5)
+            out.append((w / peak * 0.9).astype(np.float32))
+        return out
+
+
+def save_vocoder(path: str, params) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(params), force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_vocoder(
+    path: str, hop: int = 256, sample_rate: int = 16000
+) -> NeuralVocoder:
+    """Restore a trained vocoder; the architecture (channels, depth,
+    n_fft) is inferred from the checkpoint's parameter shapes."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no vocoder checkpoint at {path}")
+    params = ocp.StandardCheckpointer().restore(path)
+    backbone = params["backbone"]
+    channels = int(backbone["embed"]["kernel"].shape[1])
+    depth = sum(1 for k in backbone if str(k).startswith("block_"))
+    f_bins = int(backbone["head"]["kernel"].shape[1]) // 3
+    n_fft = 2 * (f_bins - 1)
+    return NeuralVocoder(
+        params, n_fft=n_fft, hop=hop, channels=channels, depth=depth,
+        sample_rate=sample_rate,
+    )

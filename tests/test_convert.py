@@ -42,6 +42,7 @@ def _random_utterance(rng, name, uid, length=150):
     return prepare_utterance(CFG, mel, f0, emb, name=name, uid=uid)
 
 
+@pytest.mark.slow
 def test_seven_conditions_shapes(models, rng):
     g_module, g_params, p_module, p_params = models
     src = _random_utterance(rng, "spkA", "u1", 150)
@@ -72,6 +73,7 @@ def test_f0_conversion_is_onehot(models, rng):
 @pytest.mark.skipif(
     not os.path.exists(DEMO_PKL), reason="demo.pkl not available"
 )
+@pytest.mark.slow
 def test_demo_conversion_parity_with_reference(models):
     """Golden test: with identical (converted) weights, our conversion of
     the bundled demo utterances must match the reference demo pipeline

@@ -24,6 +24,7 @@ def _utt(rng, name, uid, length):
     return prepare_utterance(CFG, mel, f0, emb, name=name, uid=uid)
 
 
+@pytest.mark.slow
 def test_batched_matches_sequential(rng):
     g_module, g_state = create_train_state(CFG, jax.random.PRNGKey(0))
     p_module, p_state = create_train_state(

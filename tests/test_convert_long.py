@@ -9,6 +9,8 @@ from speechsplit_tpu.config import SpeechSplitConfig
 from speechsplit_tpu.convert import convert_long
 from speechsplit_tpu.training.train_step import create_train_state
 
+pytestmark = pytest.mark.slow  # long-form windowed conversions (~4 s each)
+
 CFG = SpeechSplitConfig(
     dim_enc=64, dim_enc_2=32, dim_enc_3=64,
     dim_neck=4, dim_neck_2=1, dim_neck_3=8,

@@ -1,6 +1,7 @@
 """bfloat16 compute-dtype policy: forward runs, params stay float32."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +16,7 @@ CFG = SpeechSplitConfig(
 )
 
 
+@pytest.mark.slow
 def test_bfloat16_compute(rng):
     model = SpeechSplit(CFG, dtype=jnp.bfloat16)
     x_f0 = jnp.asarray(rng.rand(2, 192, 337).astype(np.float32))
@@ -38,6 +40,7 @@ def test_bfloat16_compute(rng):
     assert np.abs(np.asarray(out) - np.asarray(out32)).max() < 0.1
 
 
+@pytest.mark.slow
 def test_compute_dtype_wired_from_config(rng):
     """config.compute_dtype must reach model construction (VERDICT r1 #3):
     create_train_state builds bf16-compute modules, params stay f32, and a

@@ -12,6 +12,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full loops / subprocess CLIs (~30-70 s)
+
 SMALL_HPARAMS = (
     "dim_enc=64,dim_enc_2=32,dim_enc_3=64,"
     "dim_neck=4,dim_neck_2=1,dim_neck_3=8,"

@@ -19,6 +19,7 @@ def test_entry_traces():
     assert out.dtype == np.float32
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     assert len(jax.devices()) == 8
     graft.dryrun_multichip(8)

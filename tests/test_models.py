@@ -31,6 +31,7 @@ def reference():
     return load_reference()
 
 
+@pytest.mark.slow
 def test_speechsplit_forward_matches_reference(reference, rng):
     ref_model, ref_hparams = reference
     torch.manual_seed(0)
@@ -128,6 +129,7 @@ def test_parameter_counts_match_reference():
     assert _count(p_params) == 3_485_849
 
 
+@pytest.mark.slow
 def test_train_mode_runs_and_differs_from_eval(rng):
     cfg = CFG
     model = SpeechSplit(cfg)

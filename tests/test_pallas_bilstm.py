@@ -61,6 +61,47 @@ def test_bilstm_layer_bf16_matches_bf16_scan(rng):
     )
 
 
+def test_fold_shrinks_with_batch():
+    """VMEM-budget fold selection: the estimated kernel working set must
+    stay inside the 16 MB scoped-VMEM stack (batch 64 at fold 2, H=512
+    is a measured compile-time OOM) and the fold must divide T."""
+    from speechsplit_tpu.ops.pallas_lstm import (
+        _bd_vmem_bytes,
+        _fold_for,
+        merged_bidir_fits,
+    )
+
+    assert _fold_for(192, 16, 512) == 4
+    assert _fold_for(192, 64, 512) == 1
+    assert _fold_for(192, 64, 256) == 4
+    assert _fold_for(190, 16, 512) == 2  # must divide t
+    assert _fold_for(191, 16, 512) == 1
+    # measured OOM point must be rejected by the estimate
+    assert _bd_vmem_bytes(2, 64, 512) > 16 * 1024 * 1024
+    # merged kernel gives way to unmerged single-direction kernels when
+    # even fold=1 cannot fit (wide decoder at very large batch)
+    assert merged_bidir_fits(192, 64, 512)
+    assert not merged_bidir_fits(192, 128, 512)
+    assert merged_bidir_fits(192, 128, 256)
+
+
+def test_bilstm_large_batch_fold_matches_scan(rng):
+    """Parity must hold where the adaptive fold kicks in (fold=2 at
+    batch 64)."""
+    x = jnp.asarray(rng.randn(64, 8, I).astype(np.float32))
+    lstm = LSTM(hidden_size=H, num_layers=1, bidirectional=True)
+    params = lstm.init(jax.random.PRNGKey(3), x)
+
+    out_pallas = lstm.apply(params, x)
+
+    pallas_lstm.FORCE_INTERPRET = False
+    out_scan = lstm.apply(params, x)
+
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_scan), atol=1e-5
+    )
+
+
 def test_bilstm_layer_gradients_match(rng):
     x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
     lstm = LSTM(hidden_size=H, num_layers=1, bidirectional=True)

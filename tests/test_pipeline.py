@@ -29,6 +29,7 @@ def _tone(f0, n, seed=0):
     return (sig / np.abs(sig).max() * 0.5).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_voice_converter_wav_to_wav(tmp_path):
     from scipy.io import wavfile
 
@@ -62,6 +63,7 @@ def test_voice_converter_wav_to_wav(tmp_path):
         assert entry["wav"].ndim == 1 and np.isfinite(entry["wav"]).all()
 
 
+@pytest.mark.slow
 def test_solver_validation_and_render(tmp_path):
     """Solver validation + 5-panel ablation render on a demo-style file
     (ref: solver.py:206-269)."""

@@ -40,6 +40,7 @@ def test_prefetch_preserves_order_and_values():
         np.testing.assert_array_equal(a.mel, np.asarray(b.mel))
 
 
+@pytest.mark.slow
 def test_compressed_prefetch_feeds_train_step():
     batches = list(
         prefetch_to_device(_batches(1, seed=1), compress=True)

@@ -13,6 +13,8 @@ from speechsplit_tpu.training.train_step import (
     make_train_step_shard_map,
 )
 
+pytestmark = pytest.mark.slow  # full 8-device train loops (~70 s)
+
 SMALL = SpeechSplitConfig(
     dim_enc=64, dim_enc_2=32, dim_enc_3=64,
     dim_neck=4, dim_neck_2=1, dim_neck_3=8,

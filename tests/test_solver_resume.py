@@ -1,6 +1,7 @@
 """Solver resume semantics: checkpoint -> resume continues the schedule
 (reference: solver.py:117-121 shifts the iteration window)."""
 
+import pytest
 import os
 import pickle
 
@@ -9,6 +10,8 @@ import numpy as np
 from speechsplit_tpu.config import SpeechSplitConfig
 from speechsplit_tpu.data.collator import Batch
 from speechsplit_tpu.training.solver import Solver, SolverConfig
+
+pytestmark = pytest.mark.slow  # full loops / subprocess CLIs (~30-70 s)
 
 SMALL = SpeechSplitConfig(
     dim_enc=64, dim_enc_2=32, dim_enc_3=64,

@@ -47,6 +47,7 @@ def _fake_batch(cfg, batch_size, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_generator_loss_decreases():
     cfg = SMALL
     module, state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -62,6 +63,7 @@ def test_generator_loss_decreases():
     assert np.mean(losses[-5:]) < 0.7 * np.mean(losses[:5])
 
 
+@pytest.mark.slow
 def test_f0_converter_loss_decreases():
     cfg = SMALL
     module, state = create_train_state(
@@ -78,6 +80,7 @@ def test_f0_converter_loss_decreases():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_step_deterministic_per_iteration():
     cfg = SMALL
     module, state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -91,6 +94,7 @@ def test_step_deterministic_per_iteration():
     assert float(loss_a) == float(loss_b)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = SMALL
     module, state = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -115,6 +119,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert float(loss_a) == float(loss_b)
 
 
+@pytest.mark.slow
 def test_data_parallel_8_devices_matches_single():
     cfg = SMALL
     assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"

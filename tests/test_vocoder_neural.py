@@ -1,0 +1,130 @@
+"""Neural (iSTFT-head) vocoder: model, training, checkpoint, inference.
+
+The reference system's vocoder is an external pretrained WaveNet
+(demo.ipynb cell-1); this framework trains its own head. These tests run
+a tiny config on CPU; quality-vs-Griffin-Lim is measured on TPU in
+benchmarks (BENCHMARKS.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from speechsplit_tpu.vocoder_neural import (
+    NeuralVocoder,
+    NeuralVocoderModel,
+    VocoderTrainer,
+    load_vocoder,
+    make_crops,
+    multi_resolution_stft_loss,
+    save_vocoder,
+)
+
+TINY = dict(channels=32, depth=2)
+
+
+def _tone_corpus(rng, n_utts=2, seconds=1.0, fs=16000, hop=256):
+    """Aligned (wav, mel) pairs via the repo front-end."""
+    from speechsplit_tpu.preprocess import extract_features
+
+    wavs, mels = [], []
+    for i in range(n_utts):
+        t = np.arange(int(seconds * fs)) / fs
+        f = 180.0 + 60.0 * i
+        w = (
+            0.4 * np.sin(2 * np.pi * f * t)
+            + 0.2 * np.sin(2 * np.pi * 2 * f * t)
+            + 0.01 * rng.randn(len(t))
+        ).astype(np.float32)
+        mel, _ = extract_features(
+            jnp.asarray(w)[None, :],
+            jnp.asarray([len(w)]),
+            jnp.asarray([50.0], jnp.float32),
+            jnp.asarray([600.0], jnp.float32),
+            jax.random.PRNGKey(0),
+        )
+        wavs.append(w)
+        mels.append(np.asarray(mel)[0, : len(w) // hop + 1])
+    return wavs, mels
+
+
+def test_model_output_shape_and_dtype(rng):
+    model = NeuralVocoderModel(**TINY)
+    mel = jnp.asarray(rng.rand(2, 16, 80).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), mel)["params"]
+    wav = model.apply({"params": params}, mel)
+    assert wav.shape == (2, 15 * 256)
+    assert wav.dtype == jnp.float32
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_make_crops_alignment(rng):
+    wavs, mels = _tone_corpus(rng, n_utts=1)
+    mb, wb = make_crops(wavs, mels, batch=3, t_frames=8, hop=256, rng=rng)
+    assert mb.shape == (3, 8, 80)
+    assert wb.shape == (3, 7 * 256)
+    # every crop's wav slice must appear verbatim in the source signal
+    hay = wavs[0].tobytes()
+    for i in range(3):
+        assert wb[i].astype(np.float32).tobytes() in hay
+
+
+def test_mrstft_loss_zero_for_identical(rng):
+    x = jnp.asarray(rng.randn(2, 4096).astype(np.float32))
+    assert float(multi_resolution_stft_loss(x, x)) < 1e-5
+    y = jnp.asarray(rng.randn(2, 4096).astype(np.float32))
+    assert float(multi_resolution_stft_loss(x, y)) > 0.1
+
+
+@pytest.mark.slow
+def test_training_reduces_loss(rng):
+    wavs, mels = _tone_corpus(rng)
+    trainer = VocoderTrainer(**TINY, learning_rate=1e-3)
+    state = trainer.init(jax.random.PRNGKey(0), t_frames=16)
+    first, last = None, None
+    for i in range(40):
+        mb, wb = make_crops(wavs, mels, 4, 16, 256, rng)
+        state, loss = trainer.step(
+            state, jnp.asarray(mb), jnp.asarray(wb)
+        )
+        if i < 5:
+            first = float(loss) if first is None else max(first, float(loss))
+        last = float(loss)
+    assert np.isfinite(last)
+    assert last < first, (first, last)
+
+
+def test_checkpoint_roundtrip_infers_architecture(tmp_path, rng):
+    trainer = VocoderTrainer(**TINY)
+    state = trainer.init(jax.random.PRNGKey(0), t_frames=16)
+    path = save_vocoder(str(tmp_path / "10-V"), state.params)
+    voc = load_vocoder(path)
+    assert voc.model.channels == TINY["channels"]
+    assert voc.model.depth == TINY["depth"]
+    assert voc.model.n_fft == 1024
+
+    mel = rng.rand(20, 80).astype(np.float32)
+    direct = NeuralVocoder(state.params, **TINY)
+    np.testing.assert_allclose(voc(mel), direct(mel), atol=1e-6)
+
+
+def test_load_missing_checkpoint_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="vocoder checkpoint"):
+        load_vocoder(str(tmp_path / "nope"))
+
+
+def test_synthesize_batch_trims_per_input(rng):
+    trainer = VocoderTrainer(**TINY)
+    state = trainer.init(jax.random.PRNGKey(0), t_frames=16)
+    voc = NeuralVocoder(state.params, **TINY)
+    mels = [
+        rng.rand(12, 80).astype(np.float32),
+        rng.rand(20, 80).astype(np.float32),
+    ]
+    outs = voc.synthesize_batch(mels)
+    assert outs[0].shape == (11 * 256,)
+    assert outs[1].shape == (19 * 256,)
+    for o in outs:
+        assert np.abs(o).max() <= 0.95
