@@ -74,14 +74,31 @@ def bench_sustained(steps_per_dispatch: int, iters: int, root: str):
         feat_dir=os.path.join(root, "raptf0"),
     )
     dataset = SpeakerDataset(config.root_dir, config.feat_dir)
-    loader = data_loader(dataset, config, seed=0)
     module, state = create_train_state(config, jax.random.PRNGKey(0))
 
-    k = steps_per_dispatch
-    if k > 1:
+    k = abs(steps_per_dispatch)
+    if steps_per_dispatch < 0:  # resident: features in HBM, plans only
+        from speechsplit_tpu.data import resident as resident_lib
+
+        features, speaker_utts = resident_lib.build_resident(
+            dataset, config
+        )
+        step = resident_lib.make_resident_train_step(
+            config, module, features
+        )
+        plans = resident_lib.plan_batches(
+            speaker_utts, np.asarray(features.length), config, seed=0
+        )
+        feed = prefetch_to_device(
+            resident_lib.stack_plans(plans, k) if k > 1 else plans,
+            size=2,
+        )
+    elif k > 1:
+        loader = data_loader(dataset, config, seed=0)
         step = make_train_multi_step(config, module)
         feed = prefetch_to_device(stack_batches(loader, k), size=2)
     else:
+        loader = data_loader(dataset, config, seed=0)
         step = make_train_step(config, module)
         feed = prefetch_to_device(loader, size=2)
     key = jax.random.PRNGKey(1)
@@ -114,9 +131,11 @@ def main(argv=None) -> dict:
         _make_corpus(root)
         r1 = bench_sustained(1, args.iters, root)
         r8 = bench_sustained(8, args.iters, root)
+        rr = bench_sustained(-8, args.iters, root)  # resident, k=8
     return {
         "sustained_steps_per_sec_k1": round(r1, 2),
         "sustained_steps_per_sec_k8": round(r8, 2),
+        "sustained_steps_per_sec_resident_k8": round(rr, 2),
     }
 
 

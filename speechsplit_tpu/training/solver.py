@@ -64,15 +64,23 @@ class SolverConfig:
     # num_iters (events land on dispatch boundaries). Same training
     # trajectory as steps_per_dispatch=1 (identical RNG streams).
     steps_per_dispatch: int = 1
+    # keep ALL features in HBM and collate on device; the host sends
+    # only [B] crop indices per step (~200 bytes vs ~2.5 MB). Requires
+    # constructing the Solver with dataset=...; bit-identical batches
+    # to the host loader (tests/test_resident.py). "bfloat16" halves
+    # the resident HBM footprint at ~4e-3 feature quantization.
+    data_on_device: bool = False
+    resident_dtype: str = "float32"
 
 
 class Solver:
     def __init__(
         self,
-        loader: Iterator[Batch],
+        loader: Optional[Iterator[Batch]],
         run_config: SolverConfig,
         config: SpeechSplitConfig,
         mesh=None,
+        dataset=None,
     ):
         self.loader = loader
         self.rc = run_config
@@ -83,7 +91,24 @@ class Solver:
             config, jax.random.PRNGKey(run_config.seed), run_config.model
         )
         self.tag = "G" if run_config.model == "speechsplit" else "P"
-        if run_config.steps_per_dispatch > 1:
+        self._resident = None
+        if run_config.data_on_device:
+            if dataset is None:
+                raise ValueError(
+                    "data_on_device=True requires Solver(dataset=...)"
+                )
+            from speechsplit_tpu.config import resolve_dtype
+            from speechsplit_tpu.data import resident as resident_lib
+
+            features, speaker_utts = resident_lib.build_resident(
+                dataset, config,
+                store_dtype=resolve_dtype(run_config.resident_dtype),
+            )
+            self._resident = (features, speaker_utts)
+            self.train_step = resident_lib.make_resident_train_step(
+                config, self.module, features, mesh, run_config.model
+            )
+        elif run_config.steps_per_dispatch > 1:
             self.train_step = make_train_multi_step(
                 config, self.module, mesh, run_config.model
             )
@@ -148,7 +173,23 @@ class Solver:
                         "so logging/checkpoint events land on dispatch "
                         "boundaries"
                     )
-        loader = stack_batches(self.loader, k) if k > 1 else self.loader
+        if self._resident is not None:
+            from speechsplit_tpu.data import resident as resident_lib
+
+            features, speaker_utts = self._resident
+            plans = resident_lib.plan_batches(
+                speaker_utts, np.asarray(features.length),
+                self.config, seed=rc.seed,
+            )
+            loader = (
+                resident_lib.stack_plans(plans, k)
+                if k > 1 or self.mesh is not None
+                else plans
+            )
+        elif k > 1:
+            loader = stack_batches(self.loader, k)
+        else:
+            loader = self.loader
         batches = prefetch_to_device(loader, compress=rc.compress_transfers)
         print("Start training...")
         start_time = time.time()
@@ -178,7 +219,7 @@ class Solver:
             i = i + k - 1  # end-of-dispatch iteration for bookkeeping
 
             if (i + 1) % rc.log_step == 0:
-                loss_val = float(loss if k == 1 else loss[-1])
+                loss_val = float(np.ravel(np.asarray(loss))[-1])
                 if not np.isfinite(loss_val):
                     raise FloatingPointError(
                         f"non-finite loss {loss_val} at step {i + 1}; "
