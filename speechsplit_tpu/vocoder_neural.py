@@ -106,9 +106,10 @@ class NeuralVocoderModel(nn.Module):
             name="backbone",
         )(mel)
         norm = jax.lax.rsqrt(p_cos**2 + p_sin**2 + 1e-7)
-        spec = jnp.exp(log_mag) * (
-            p_cos * norm + 1j * p_sin * norm
-        )
+        mag = jnp.exp(log_mag)
+        # lax.complex, not `1j * ...`: complex-literal arithmetic is
+        # unimplemented on this TPU backend
+        spec = jax.lax.complex(mag * p_cos * norm, mag * p_sin * norm)
         return _istft(spec, self.n_fft, self.hop)
 
 
