@@ -219,12 +219,10 @@ def make_resident_train_step(
         return step_fn(state, batch, key)
 
     def dispatch(state: TrainState, plan: Plan, key: Array):
+        # with a mesh, plans must be [k, B] (stack_plans, k >= 1): the
+        # in_shardings below partition axis 1, and jit's rank validation
+        # rejects 1-D plans before tracing
         if plan.utt.ndim == 1:
-            if mesh is not None:
-                raise ValueError(
-                    "with a mesh, plans must be [k, B] (stack_plans, "
-                    "k >= 1) so the batch axis is unambiguous"
-                )
             return one_step(state, plan, key)
 
         def body(carry, plan_i):

@@ -133,6 +133,30 @@ def test_solver_data_on_device_requires_dataset(tmp_path):
 
 
 @pytest.mark.slow
+def test_resident_step_on_8_device_mesh(tmp_path):
+    """Resident plans shard over the data mesh; features replicate."""
+    from speechsplit_tpu.parallel import make_mesh
+
+    dataset = _corpus(tmp_path, n_speakers=4)
+    cfg = SMALL.replace(batch_size=8)
+    mesh = make_mesh((8,))
+    module, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    features, utts = build_resident(dataset, cfg)
+    step = make_resident_train_step(cfg, module, features, mesh)
+    plans = stack_plans(
+        plan_batches(utts, np.asarray(features.length), cfg, seed=1), 2
+    )
+    state, losses = step(state, next(plans), jax.random.PRNGKey(2))
+    assert losses.shape == (2,)
+    assert np.isfinite(np.asarray(losses)).all()
+
+    # 1-D plans are rejected under a mesh (jit sharding rank check)
+    flat = plan_batches(utts, np.asarray(features.length), cfg, seed=1)
+    with pytest.raises(ValueError, match="rank at least"):
+        step(state, next(flat), jax.random.PRNGKey(3))
+
+
+@pytest.mark.slow
 def test_resident_step_matches_batch_step(tmp_path):
     dataset = _corpus(tmp_path)
     cfg = SMALL
