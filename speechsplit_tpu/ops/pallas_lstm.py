@@ -42,6 +42,25 @@ Array = jax.Array
 # Tests flip this to exercise the kernels on CPU via the interpreter.
 FORCE_INTERPRET = False
 
+# Scoped-VMEM budgeting. Mosaic's default scoped-vmem stack is 16 MiB;
+# the merged bidirectional kernels outgrow it at some batch sizes and
+# the failure is a compile-time OOM, not a fallback (measured: the
+# backward kernel allocates 16.44 MiB at B=24/fold=4 — exactly the
+# weights + 2x-double-buffered streamed blocks + scratch bound below).
+# ``vmem_limit_bytes`` can raise the cap (a v5e core has 128 MiB), but
+# the value perturbs the surrounding XLA program: measured at the
+# reference geometry, a blanket 100 MiB request costs ~5% step time on
+# ops *outside* the kernel (less VMEM left for XLA's own fusion
+# prefetch), while <= 24 MiB is noise. Policy, implemented by
+# ``_plan_fold``/``_vmem_params``: prefer a fold whose worst-case bound
+# fits the 16 MiB default (no compiler param at all — this reproduces
+# every previously-measured best configuration), and only when fold=1
+# still exceeds it, request a *tight* per-shape limit. _VMEM_CEILING is
+# the sanity ceiling beyond which we fall back to the unmerged
+# single-direction kernels instead.
+_MOSAIC_DEFAULT_VMEM = 16 * 1024 * 1024
+_VMEM_CEILING = 100 * 1024 * 1024
+
 # dtype for the saved backward residuals (gates/c). bfloat16 halves the
 # residual HBM traffic at <=2% max-relative gradient error, but measured
 # only ~1% step-time gain (8.21 -> 8.11 ms at reference geometry) — the
@@ -49,6 +68,28 @@ FORCE_INTERPRET = False
 # keeps gradients bit-identical to the scan path. Flip to jnp.bfloat16
 # to trade exactness for the last percent.
 RESIDUAL_DTYPE = jnp.float32
+
+
+def _vmem_params(bound_bytes: float):
+    """Compiler params for a kernel whose worst-case scoped-VMEM need is
+    ``bound_bytes``: none while the Mosaic default stack suffices (zero
+    perturbation of the surrounding program), else a tight raise with
+    ~5% + 1 MiB headroom."""
+    if bound_bytes <= 0.95 * _MOSAIC_DEFAULT_VMEM:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(bound_bytes * 1.05) + 1024 * 1024
+    )
+
+
+def _sd_vmem_bytes(b: int, h: int) -> float:
+    """Worst-case scoped-VMEM bound for the single-direction kernels
+    (sized for the backward, the largest: 11 [B,H]-unit blocks per grid
+    step, fully double-buffered, + resident weights + carry scratch)."""
+    weights = h * (4 * h) * 4
+    block_set = 11 * b * h * 4
+    scratch = 2 * b * h * 4
+    return weights + 2.0 * block_set + scratch
 
 
 def supported(batch: int, hidden: int) -> bool:
@@ -147,6 +188,7 @@ def _infer(x_proj: Array, w_hh: Array) -> Array:
             pltpu.VMEM((b, h_dim), jnp.float32),
         ],
         interpret=FORCE_INTERPRET,
+        compiler_params=_vmem_params(_sd_vmem_bytes(b, h_dim)),
     )(x_proj, w_hh)
 
 
@@ -195,6 +237,7 @@ def _fwd(
             pltpu.VMEM((b, h_dim), jnp.float32),
         ],
         interpret=FORCE_INTERPRET,
+        compiler_params=_vmem_params(_sd_vmem_bytes(b, h_dim)),
     )(x_proj, w_hh)
 
 
@@ -270,6 +313,7 @@ def _bwd_call(dh_out, gates, c, c_prev, w_hh):
             pltpu.VMEM((b, h_dim), jnp.float32),
         ],
         interpret=FORCE_INTERPRET,
+        compiler_params=_vmem_params(_sd_vmem_bytes(b, h_dim)),
     )(dh_out, gates, c, c_prev, w_hh)
 
 
@@ -372,43 +416,52 @@ def _bd_fwd_kernel(
         hb_st[:], cb_st[:] = h, c
 
 
-_SCOPED_VMEM_BYTES = 16 * 1024 * 1024  # Mosaic scoped-vmem stack limit
-
-
 def _bd_vmem_bytes(fold: int, b: int, h: int) -> float:
-    """Estimated scoped-VMEM stack for the merged-bidir kernels.
+    """Worst-case scoped-VMEM bound for the merged-bidir kernels.
 
-    Resident weights + ~1.5x one fold-block set (Mosaic partially
-    double-buffers the streamed blocks) + carry scratch. Calibrated
-    against measured compiles at H=512: (fold 2, b 64) reports 16.5 MB
-    (OOM by 0.5 MB); (fold 4, b 32) fits. The backward kernel streams
-    slightly more than the forward (22 vs 20 H-units per fold step), so
-    the estimate uses the backward's footprint.
+    Resident weights + 2x (full double-buffering) the per-grid-step
+    streamed blocks + carry scratch, sized for the backward kernel (the
+    larger of the pair: 22 [fold,B,H]-unit blocks per grid step vs the
+    forward's 20). Mosaic's measured buffering sits between ~1.4x and
+    exactly 2x depending on shape (B=24/fold=4 allocates 16.44 MiB —
+    this bound to the byte; B=64/fold=2 allocates 16.5 MiB ~ 1.4x), so
+    2x is the guarantee against compile-time OOM, the failure mode this
+    exists to prevent.
     """
     weights = 2 * h * (4 * h) * 4
     block_set = 22 * fold * b * h * 4
     scratch = 4 * b * h * 4
-    return weights + 1.5 * block_set + scratch
+    return weights + 2.0 * block_set + scratch
 
 
 def merged_bidir_fits(t: int, b: int, h: int) -> bool:
     """Can the merged-bidirectional kernel pair compile for this shape?
 
-    When False, the LSTM layer runs the two directions as separate
-    single-direction Pallas kernels (half the resident weights and
-    streams per kernel) — still fused recurrences, just not co-scheduled.
+    True for every geometry this model trains at (the fold-1 bound at
+    B=128/H=512 is ~21 MiB vs the 100 MiB ceiling). When False, the
+    LSTM layer runs the two directions as separate single-direction
+    Pallas kernels (half the resident weights and streams per kernel) —
+    still fused recurrences, just not co-scheduled.
     """
-    return _bd_vmem_bytes(_fold_for(t, b, h), b, h) <= 0.95 * (
-        _SCOPED_VMEM_BYTES
+    return _bd_vmem_bytes(_fold_for(t, b, h), b, h) <= 0.9 * (
+        _VMEM_CEILING
     )
 
 
 def _fold_for(t: int, b: int, h: int) -> int:
-    """Largest fold <= FOLD that divides t and fits the VMEM budget."""
-    for fold in range(FOLD, 1, -1):
+    """Pick the timestep fold for the merged-bidir kernels.
+
+    Largest fold <= FOLD that divides t and whose worst-case bound fits
+    Mosaic's default 16 MiB stack (no compiler param -> zero
+    perturbation of the surrounding program; fold's DMA-amortization
+    win is ~1%, so it never justifies raising the limit). When even
+    fold=1 exceeds the default stack (wide decoder at B >= ~96), fold=1
+    with a tight vmem_limit_bytes raise is the minimal-limit choice.
+    """
+    for fold in range(FOLD, 0, -1):
         if t % fold == 0 and _bd_vmem_bytes(
             fold, b, h
-        ) <= 0.95 * _SCOPED_VMEM_BYTES:
+        ) <= 0.95 * _MOSAIC_DEFAULT_VMEM:
             return fold
     return 1
 
@@ -440,6 +493,7 @@ def _bd_fwd(xp_f, xp_b, w_f, w_b, residual_dtype=jnp.float32):
             pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
         ],
         interpret=FORCE_INTERPRET,
+        compiler_params=_vmem_params(_bd_vmem_bytes(fold, b, h_dim)),
     )(xp_f, xp_b, w_f, w_b)
 
 
@@ -488,6 +542,7 @@ def _bd_infer(xp_f, xp_b, w_f, w_b):
             pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
         ],
         interpret=FORCE_INTERPRET,
+        compiler_params=_vmem_params(_bd_vmem_bytes(fold, b, h_dim)),
     )(xp_f, xp_b, w_f, w_b)
 
 
@@ -575,6 +630,7 @@ def _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, cp_f, cp_b, w_f, w_b):
             pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
         ],
         interpret=FORCE_INTERPRET,
+        compiler_params=_vmem_params(_bd_vmem_bytes(fold, b, h_dim)),
     )(dh_f, dh_b, g_f, g_b, c_f, c_b, cp_f, cp_b, w_f, w_b)
 
 

@@ -61,28 +61,46 @@ def test_bilstm_layer_bf16_matches_bf16_scan(rng):
     )
 
 
-def test_fold_shrinks_with_batch():
-    """VMEM-budget fold selection: the estimated kernel working set must
-    stay inside the 16 MB scoped-VMEM stack (batch 64 at fold 2, H=512
-    is a measured compile-time OOM) and the fold must divide T."""
+def test_fold_and_vmem_plan():
+    """VMEM planning: prefer the largest fold whose worst-case bound
+    fits Mosaic's default 16 MiB stack with no compiler param; when
+    even fold=1 exceeds it, keep the merged kernel with a tight
+    vmem_limit_bytes raise. The 2x-double-buffer bound is exact at the
+    measured compile-time-OOM point (B=24/fold=4 allocates 16.44 MiB)."""
     from speechsplit_tpu.ops.pallas_lstm import (
         _bd_vmem_bytes,
         _fold_for,
+        _sd_vmem_bytes,
+        _vmem_params,
         merged_bidir_fits,
     )
 
-    assert _fold_for(192, 16, 512) == 4
+    assert _fold_for(192, 16, 512) == 4  # flagship: unchanged, no param
+    assert _fold_for(192, 24, 512) == 3  # fold4 would OOM the default
+    assert _fold_for(192, 32, 512) == 2
     assert _fold_for(192, 64, 512) == 1
     assert _fold_for(192, 64, 256) == 4
     assert _fold_for(190, 16, 512) == 2  # must divide t
     assert _fold_for(191, 16, 512) == 1
-    # measured OOM point must be rejected by the estimate
-    assert _bd_vmem_bytes(2, 64, 512) > 16 * 1024 * 1024
-    # merged kernel gives way to unmerged single-direction kernels when
-    # even fold=1 cannot fit (wide decoder at very large batch)
-    assert merged_bidir_fits(192, 64, 512)
-    assert not merged_bidir_fits(192, 128, 512)
-    assert merged_bidir_fits(192, 128, 256)
+    # the bound reproduces the measured OOM allocation to the byte
+    assert _bd_vmem_bytes(4, 24, 512) == 17235968  # 16.44 MiB > 16 MiB
+    # shapes inside the default stack request no compiler params
+    for b in (8, 16, 24, 32, 64):
+        assert _vmem_params(_bd_vmem_bytes(_fold_for(192, b, 512),
+                                           b, 512)) is None
+    # B >= ~96 raises the limit tightly (~23 MiB at B=128), not 100 MiB
+    big = _vmem_params(_bd_vmem_bytes(_fold_for(192, 128, 512), 128, 512))
+    assert big is not None
+    assert 16 * 2**20 < big.vmem_limit_bytes < 28 * 2**20
+    # every geometry this model trains at keeps the merged kernel
+    for b in (8, 16, 24, 32, 64, 128, 256):
+        assert merged_bidir_fits(192, b, 512)
+        assert merged_bidir_fits(192, b, 256)
+    # single-direction kernels stay inside the default stack to B=128
+    # and raise tightly past it
+    assert _vmem_params(_sd_vmem_bytes(128, 512)) is None
+    big_sd = _vmem_params(_sd_vmem_bytes(256, 512))
+    assert big_sd is not None and big_sd.vmem_limit_bytes < 20 * 2**20
 
 
 def test_bilstm_large_batch_fold_matches_scan(rng):
