@@ -333,9 +333,22 @@ def downsample_codes(outputs: Array, dim_neck: int, freq: int) -> Array:
     Forward states are taken at t ≡ freq-1 (mod freq), backward states at
     t ≡ 0 (mod freq), then concatenated (ref: model.py:87,137-138,223-227).
     outputs: [B, T, 2*dim_neck] -> codes [B, T//freq, 2*dim_neck].
+
+    Formulated as reshape + static index rather than a strided slice:
+    the strided form's VJP lowered to a scatter-add that XLA:TPU
+    serializes into a T//freq-iteration while loop (measured ~0.84
+    ms/step across the three encoders at the reference geometry — 13%
+    of the whole train step); the reshape form's VJP is a zero-pad,
+    one cheap fusion. Numerics are identical (same elements selected).
     """
-    fwd = outputs[:, freq - 1 :: freq, :dim_neck]
-    bwd = outputs[:, ::freq, dim_neck:]
+    b, t, c = outputs.shape
+    if t % freq == 0:
+        blocks = outputs.reshape(b, t // freq, freq, c)
+        fwd = blocks[:, :, freq - 1, :dim_neck]
+        bwd = blocks[:, :, 0, dim_neck:]
+    else:  # ragged tail: keep the strided form (not a training shape)
+        fwd = outputs[:, freq - 1 :: freq, :dim_neck]
+        bwd = outputs[:, ::freq, dim_neck:]
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 

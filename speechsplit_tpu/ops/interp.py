@@ -37,6 +37,17 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+# Resample formulation: one-hot matmul (MXU, scatter-free AD — the TPU
+# choice) vs per-row gathers (the CPU choice). None = pick by backend;
+# tests pin each explicitly to cross-check the two.
+FORCE_MATMUL: Optional[bool] = None
+
+
+def _use_matmul() -> bool:
+    if FORCE_MATMUL is not None:
+        return FORCE_MATMUL
+    return jax.default_backend() == "tpu"
+
 
 def random_resample(
     x: Array,
@@ -149,6 +160,29 @@ def resample_fixed(
     valid = rank < take(counts)  # false past the total output length
 
     src_c = jnp.clip(src, 0, t_in - 2)
+    if _use_matmul():
+        # One-hot-matrix formulation: y = M @ x with M [B, T_out, T_in]
+        # holding (1-lam) at src and lam at src+1 (masked rows zero).
+        # On TPU this routes the resample AND its whole AD through the
+        # MXU: the gather form's forward costs two [B*T_out, C] row
+        # gathers and its transpose two scatter-adds, and this op runs
+        # on [*, 768] activations three times per step inside the joint
+        # content+pitch encoder (ref model.py:199-206 interleaving), so
+        # the gathers/scatters totalled ~0.9 ms/step at the reference
+        # geometry — vs ~0.9 GFLOP of matmul per application, noise on
+        # the MXU. Products are the same two terms per output frame
+        # (plus exact zeros), so numerics match the gather path to f32
+        # matmul rounding; tests/test_interp.py pins both paths.
+        s_pos = jnp.arange(t_in)[None, None, :]  # [1, 1, T_in]
+        src_b = src_c[:, :, None]
+        m = jnp.where(s_pos == src_b, 1.0 - lam, 0.0) + jnp.where(
+            s_pos == src_b + 1, lam, 0.0
+        )
+        m = jnp.where(valid[:, :, None], m, 0.0)
+        return jnp.einsum(
+            "bts,bsc->btc", m, x.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(x.dtype)
     x_fl = jnp.take_along_axis(x, src_c[:, :, None], axis=1)
     x_cl = jnp.take_along_axis(x, (src_c + 1)[:, :, None], axis=1)
     y = (1.0 - lam) * x_fl + lam * x_cl  # [B, T_out, C]

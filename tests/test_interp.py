@@ -191,3 +191,41 @@ def test_resample_draw_distributions(rng):
     assert 140 < filled.mean() < 192, filled.mean()
     assert (filled == 192).any()      # truncation occurs
     assert (filled < 160).any()       # strong compression occurs
+
+
+def test_matmul_and_gather_paths_agree(rng):
+    """The one-hot-matmul (TPU) and gather (CPU) formulations of the
+    resample core must agree to f32-matmul rounding, values and grads."""
+    from speechsplit_tpu.ops import interp
+
+    x = jnp.asarray(rng.randn(3, 192, 5).astype(np.float32))
+    lens = jnp.asarray([192, 100, 33])
+    key = jax.random.PRNGKey(7)
+
+    def run():
+        return random_resample(x, lens, key)
+
+    def loss(xx, path):
+        interp.FORCE_MATMUL = path
+        try:
+            y = random_resample(xx, lens, key)
+        finally:
+            interp.FORCE_MATMUL = None
+        return jnp.sum(y * y), y
+
+    try:
+        interp.FORCE_MATMUL = False
+        y_gather = run()
+        interp.FORCE_MATMUL = True
+        y_matmul = run()
+    finally:
+        interp.FORCE_MATMUL = None
+    np.testing.assert_allclose(
+        np.asarray(y_matmul), np.asarray(y_gather), atol=2e-5
+    )
+
+    g_gather = jax.grad(lambda xx: loss(xx, False)[0])(x)
+    g_matmul = jax.grad(lambda xx: loss(xx, True)[0])(x)
+    np.testing.assert_allclose(
+        np.asarray(g_matmul), np.asarray(g_gather), atol=2e-4
+    )
