@@ -5,6 +5,16 @@ random-resampling augmentation draws PRNG keys from the linen rng stream
 ``"resample"`` and is active only when ``train=True``
 (reference eval-identity: model.py:382-383).
 
+Each encoder exposes two surfaces:
+- ``__call__`` — the self-contained path (conv stack + own recurrence +
+  code downsampling), used on CPU and at inference batch sizes below
+  the kernel threshold;
+- ``pre`` — just the conv/augmentation stack, so the generator can run
+  all encoders' *independent* recurrences in ONE fused multi-stream
+  Pallas kernel (ops/pallas_multilstm.py: narrow recurrences are
+  latency-bound, so fusing them is nearly free) and then apply the same
+  downsampling. Both surfaces declare identical parameter trees.
+
 Reference architecture being re-designed (not translated):
 - RhythmEncoder       <- Encoder_t,  model.py:46-89
 - F0Encoder           <- Encoder_6,  model.py:93-140
@@ -43,22 +53,31 @@ class RhythmEncoder(nn.Module):
     config: SpeechSplitConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+    def setup(self):
         cfg = self.config
-        x = Conv1d(
+        self.conv_0 = Conv1d(
             cfg.dim_enc_2, kernel_size=5, w_init_gain="relu",
-            dtype=self.dtype, name="conv_0",
-        )(x)
-        x = GroupNorm(cfg.dim_enc_2 // cfg.chs_grp, name="norm_0")(x)
-        x = jax.nn.relu(x)
-        outputs = LSTM(
+            dtype=self.dtype,
+        )
+        self.norm_0 = GroupNorm(cfg.dim_enc_2 // cfg.chs_grp)
+        self.lstm = LSTM(
             cfg.dim_neck_2, num_layers=1, bidirectional=True,
-            dtype=self.dtype, name="lstm",
-        )(x)
+            dtype=self.dtype,
+        )
+
+    def pre(self, x: Array) -> Array:
+        """Conv stack only (everything before the recurrence)."""
+        return jax.nn.relu(self.norm_0(self.conv_0(x)))
+
+    def codes(self, outputs: Array, mask: Optional[Array] = None) -> Array:
         if mask is not None:
             outputs = outputs * mask
-        return downsample_codes(outputs, cfg.dim_neck_2, cfg.freq_2)
+        return downsample_codes(
+            outputs, self.config.dim_neck_2, self.config.freq_2
+        )
+
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        return self.codes(self.lstm(self.pre(x)), mask)
 
 
 class F0Encoder(nn.Module):
@@ -73,18 +92,36 @@ class F0Encoder(nn.Module):
     config: SpeechSplitConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def setup(self):
+        cfg = self.config
+        self.conv_0 = Conv1d(
+            cfg.dim_enc_3, kernel_size=5, w_init_gain="relu",
+            dtype=self.dtype,
+        )
+        self.conv_1 = Conv1d(
+            cfg.dim_enc_3, kernel_size=5, w_init_gain="relu",
+            dtype=self.dtype,
+        )
+        self.conv_2 = Conv1d(
+            cfg.dim_enc_3, kernel_size=5, w_init_gain="relu",
+            dtype=self.dtype,
+        )
+        self.norm_0 = GroupNorm(cfg.dim_enc_3 // cfg.chs_grp)
+        self.norm_1 = GroupNorm(cfg.dim_enc_3 // cfg.chs_grp)
+        self.norm_2 = GroupNorm(cfg.dim_enc_3 // cfg.chs_grp)
+        self.lstm = LSTM(
+            cfg.dim_neck_3, num_layers=1, bidirectional=True,
+            dtype=self.dtype,
+        )
+
+    def pre(self, x: Array, train: bool = False) -> Array:
         cfg = self.config
         batch = x.shape[0]
         full_len = jnp.full((batch,), cfg.max_len_pad, jnp.int32)
-        for i in range(3):
-            x = Conv1d(
-                cfg.dim_enc_3, kernel_size=5, w_init_gain="relu",
-                dtype=self.dtype, name=f"conv_{i}",
-            )(x)
-            x = GroupNorm(cfg.dim_enc_3 // cfg.chs_grp, name=f"norm_{i}")(x)
-            x = jax.nn.relu(x)
+        convs = (self.conv_0, self.conv_1, self.conv_2)
+        norms = (self.norm_0, self.norm_1, self.norm_2)
+        for conv, norm in zip(convs, norms):
+            x = jax.nn.relu(norm(conv(x)))
             if train:
                 x = random_resample(
                     x, full_len, self.make_rng("resample"),
@@ -93,11 +130,15 @@ class F0Encoder(nn.Module):
                     max_len_seq=cfg.max_len_seq,
                     max_len_pad=cfg.max_len_pad,
                 )
-        outputs = LSTM(
-            cfg.dim_neck_3, num_layers=1, bidirectional=True,
-            dtype=self.dtype, name="lstm",
-        )(x)
-        return downsample_codes(outputs, cfg.dim_neck_3, cfg.freq_3)
+        return x
+
+    def codes(self, outputs: Array) -> Array:
+        return downsample_codes(
+            outputs, self.config.dim_neck_3, self.config.freq_3
+        )
+
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        return self.codes(self.lstm(self.pre(x, train=train)))
 
 
 class ContentPitchEncoder(nn.Module):
@@ -118,8 +159,49 @@ class ContentPitchEncoder(nn.Module):
     config: SpeechSplitConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x_f0: Array, train: bool = False):
+    def setup(self):
+        cfg = self.config
+        self.conv_mel_0 = Conv1d(
+            cfg.dim_enc, kernel_size=5, w_init_gain="relu",
+            dtype=self.dtype,
+        )
+        self.conv_mel_1 = Conv1d(
+            cfg.dim_enc, kernel_size=5, w_init_gain="relu",
+            dtype=self.dtype,
+        )
+        self.conv_mel_2 = Conv1d(
+            cfg.dim_enc, kernel_size=5, w_init_gain="relu",
+            dtype=self.dtype,
+        )
+        self.norm_mel_0 = GroupNorm(cfg.dim_enc // cfg.chs_grp)
+        self.norm_mel_1 = GroupNorm(cfg.dim_enc // cfg.chs_grp)
+        self.norm_mel_2 = GroupNorm(cfg.dim_enc // cfg.chs_grp)
+        self.conv_f0_0 = Conv1d(
+            cfg.dim_enc_3, kernel_size=5, w_init_gain="relu",
+            dtype=self.dtype,
+        )
+        self.conv_f0_1 = Conv1d(
+            cfg.dim_enc_3, kernel_size=5, w_init_gain="relu",
+            dtype=self.dtype,
+        )
+        self.conv_f0_2 = Conv1d(
+            cfg.dim_enc_3, kernel_size=5, w_init_gain="relu",
+            dtype=self.dtype,
+        )
+        self.norm_f0_0 = GroupNorm(cfg.dim_enc_3 // cfg.chs_grp)
+        self.norm_f0_1 = GroupNorm(cfg.dim_enc_3 // cfg.chs_grp)
+        self.norm_f0_2 = GroupNorm(cfg.dim_enc_3 // cfg.chs_grp)
+        self.lstm_content = LSTM(
+            cfg.dim_neck, num_layers=2, bidirectional=True,
+            dtype=self.dtype,
+        )
+        self.lstm_pitch = LSTM(
+            cfg.dim_neck_3, num_layers=1, bidirectional=True,
+            dtype=self.dtype,
+        )
+
+    def pre(self, x_f0: Array, train: bool = False):
+        """Conv/augmentation stacks; returns the (content, pitch) streams."""
         cfg = self.config
         batch = x_f0.shape[0]
         full_len = jnp.full((batch,), cfg.max_len_pad, jnp.int32)
@@ -127,21 +209,13 @@ class ContentPitchEncoder(nn.Module):
         x = x_f0[:, :, : cfg.dim_freq]
         f0 = x_f0[:, :, cfg.dim_freq :]
 
+        convs_mel = (self.conv_mel_0, self.conv_mel_1, self.conv_mel_2)
+        norms_mel = (self.norm_mel_0, self.norm_mel_1, self.norm_mel_2)
+        convs_f0 = (self.conv_f0_0, self.conv_f0_1, self.conv_f0_2)
+        norms_f0 = (self.norm_f0_0, self.norm_f0_1, self.norm_f0_2)
         for i in range(3):
-            x = Conv1d(
-                cfg.dim_enc, kernel_size=5, w_init_gain="relu",
-                dtype=self.dtype, name=f"conv_mel_{i}",
-            )(x)
-            x = GroupNorm(cfg.dim_enc // cfg.chs_grp, name=f"norm_mel_{i}")(x)
-            x = jax.nn.relu(x)
-            f0 = Conv1d(
-                cfg.dim_enc_3, kernel_size=5, w_init_gain="relu",
-                dtype=self.dtype, name=f"conv_f0_{i}",
-            )(f0)
-            f0 = GroupNorm(
-                cfg.dim_enc_3 // cfg.chs_grp, name=f"norm_f0_{i}"
-            )(f0)
-            f0 = jax.nn.relu(f0)
+            x = jax.nn.relu(norms_mel[i](convs_mel[i](x)))
+            f0 = jax.nn.relu(norms_f0[i](convs_f0[i](f0)))
             if train:
                 joint = jnp.concatenate([x, f0], axis=-1)
                 joint = random_resample(
@@ -153,16 +227,15 @@ class ContentPitchEncoder(nn.Module):
                 )
                 x = joint[:, :, : cfg.dim_enc]
                 f0 = joint[:, :, cfg.dim_enc :]
+        return x, f0
 
-        content = LSTM(
-            cfg.dim_neck, num_layers=2, bidirectional=True,
-            dtype=self.dtype, name="lstm_content",
-        )(x)
-        pitch = LSTM(
-            cfg.dim_neck_3, num_layers=1, bidirectional=True,
-            dtype=self.dtype, name="lstm_pitch",
-        )(f0)
+    def codes(self, content: Array, pitch: Array):
+        cfg = self.config
+        return (
+            downsample_codes(content, cfg.dim_neck, cfg.freq),
+            downsample_codes(pitch, cfg.dim_neck_3, cfg.freq_3),
+        )
 
-        codes_content = downsample_codes(content, cfg.dim_neck, cfg.freq)
-        codes_pitch = downsample_codes(pitch, cfg.dim_neck_3, cfg.freq_3)
-        return codes_content, codes_pitch
+    def __call__(self, x_f0: Array, train: bool = False):
+        x, f0 = self.pre(x_f0, train=train)
+        return self.codes(self.lstm_content(x), self.lstm_pitch(f0))

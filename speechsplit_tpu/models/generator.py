@@ -19,9 +19,27 @@ from speechsplit_tpu.models.encoders import (
     F0Encoder,
     RhythmEncoder,
 )
-from speechsplit_tpu.models.layers import upsample_codes
+from speechsplit_tpu.models.layers import combine_bidir, upsample_codes
 
 Array = jax.Array
+
+
+def _fuse_encoder_group(batch: int, t: int, hidden_sizes) -> bool:
+    """Should the independent encoder recurrences run as ONE fused
+    multi-stream Pallas kernel? Static per trace (backend + shapes).
+
+    The encoder LSTMs are narrow (H = 1/8/32 at defaults) and therefore
+    latency-bound — each costs ~0.08 ms at T=192 no matter its width —
+    so running them as separate kernels serializes pure latency. The
+    fused kernel interleaves all their cell chains in one grid
+    (ops/pallas_multilstm.py); measured on v5e, the 3-stream group's
+    forward costs 84 us vs 3 x 80 us separate.
+    """
+    from speechsplit_tpu.ops import pallas_lstm, pallas_multilstm
+
+    return pallas_lstm.supported(batch, max(hidden_sizes)) and (
+        pallas_multilstm.fits(t, batch, hidden_sizes)
+    )
 
 
 class SpeechSplit(nn.Module):
@@ -55,13 +73,49 @@ class SpeechSplit(nn.Module):
         self, x_f0: Array, x_org: Array, c_trg: Array, train: bool = False
     ) -> Array:
         cfg = self.config
-        codes_content, codes_pitch = self.encoder_content_pitch(
-            x_f0, train=train
-        )
+        batch, t = x_f0.shape[0], x_f0.shape[1]
+        if _fuse_encoder_group(
+            batch, t, (cfg.dim_neck, cfg.dim_neck_3, cfg.dim_neck_2)
+        ):
+            from speechsplit_tpu.ops.pallas_multilstm import (
+                multi_bilstm_sequence,
+            )
+
+            # conv stacks of all three encoders, then their three
+            # INDEPENDENT recurrences (content layer 0, pitch, rhythm)
+            # fused into one kernel grid; content layer 1 (which needs
+            # layer 0's output) runs after as a normal merged-bidir call.
+            xc, xp = self.encoder_content_pitch.pre(x_f0, train=train)
+            xr = self.encoder_rhythm.pre(x_org)
+            s_c = self.encoder_content_pitch.lstm_content(
+                xc, mode="streams", start_layer=0
+            )
+            s_p = self.encoder_content_pitch.lstm_pitch(
+                xp, mode="streams", start_layer=0
+            )
+            s_r = self.encoder_rhythm.lstm(xr, mode="streams")
+            outs = multi_bilstm_sequence(
+                3,
+                s_c[0], s_c[1], s_p[0], s_p[1], s_r[0], s_r[1],
+                s_c[2], s_c[3], s_p[2], s_p[3], s_r[2], s_r[3],
+            )
+            h_content = self.encoder_content_pitch.lstm_content(
+                combine_bidir(outs[0], outs[1]), start_layer=1
+            )
+            codes_content, codes_pitch = self.encoder_content_pitch.codes(
+                h_content, combine_bidir(outs[2], outs[3])
+            )
+            codes_rhythm = self.encoder_rhythm.codes(
+                combine_bidir(outs[4], outs[5]), None
+            )
+        else:
+            codes_content, codes_pitch = self.encoder_content_pitch(
+                x_f0, train=train
+            )
+            codes_rhythm = self.encoder_rhythm(x_org, None)
+
         content = upsample_codes(codes_content, cfg.freq)
         pitch = upsample_codes(codes_pitch, cfg.freq_3)
-
-        codes_rhythm = self.encoder_rhythm(x_org, None)
         rhythm = upsample_codes(codes_rhythm, cfg.freq_2)
 
         t = x_f0.shape[1]
@@ -102,10 +156,34 @@ class F0Converter(nn.Module):
         self, x_org: Array, f0_trg: Array, train: bool = False
     ) -> Array:
         cfg = self.config
-        codes_rhythm = self.encoder_rhythm(x_org, None)
-        rhythm = upsample_codes(codes_rhythm, cfg.freq_2)
+        batch, t = x_org.shape[0], x_org.shape[1]
+        if _fuse_encoder_group(
+            batch, t, (cfg.dim_neck_3, cfg.dim_neck_2)
+        ):
+            from speechsplit_tpu.ops.pallas_multilstm import (
+                multi_bilstm_sequence,
+            )
 
-        codes_f0 = self.encoder_f0(f0_trg, train=train)
+            xf = self.encoder_f0.pre(f0_trg, train=train)
+            xr = self.encoder_rhythm.pre(x_org)
+            s_f = self.encoder_f0.lstm(xf, mode="streams")
+            s_r = self.encoder_rhythm.lstm(xr, mode="streams")
+            outs = multi_bilstm_sequence(
+                2,
+                s_f[0], s_f[1], s_r[0], s_r[1],
+                s_f[2], s_f[3], s_r[2], s_r[3],
+            )
+            codes_f0 = self.encoder_f0.codes(
+                combine_bidir(outs[0], outs[1])
+            )
+            codes_rhythm = self.encoder_rhythm.codes(
+                combine_bidir(outs[2], outs[3]), None
+            )
+        else:
+            codes_rhythm = self.encoder_rhythm(x_org, None)
+            codes_f0 = self.encoder_f0(f0_trg, train=train)
+
+        rhythm = upsample_codes(codes_rhythm, cfg.freq_2)
         pitch = upsample_codes(codes_f0, cfg.freq_3)
 
         decoder_in = jnp.concatenate([rhythm, pitch], axis=-1)

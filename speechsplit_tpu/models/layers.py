@@ -255,7 +255,25 @@ class LSTM(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(
+        self, x: Array, mode: str = "run", start_layer: int = 0
+    ) -> Any:
+        """mode="run": run layers ``start_layer..num_layers-1`` over x
+        (the default, start_layer=0 = the whole stack).
+
+        mode="streams": declare layer ``start_layer``'s parameters and
+        return its kernel-ready recurrence streams
+        ``(xp_f [T,B,4H], xp_b [T,B,4H] pre-time-reversed, w_f, w_b)``
+        WITHOUT running the recurrence — the caller feeds them to
+        ``ops.pallas_multilstm.multi_bilstm_sequence`` together with
+        streams of *other, independent* LSTMs so all their sequential
+        cell chains interleave in one kernel grid (a narrow recurrence
+        is latency-bound, so N fused streams cost about the same as
+        one — see that module's docstring), then resumes any remaining
+        layers via mode="run"/start_layer. Both paths declare identical
+        parameter trees, so a checkpoint is loadable regardless of
+        which path built it.
+        """
         from speechsplit_tpu.ops import pallas_lstm
 
         h = self.hidden_size
@@ -281,10 +299,26 @@ class LSTM(nn.Module):
                 + bias
             )
 
+        if mode == "streams":
+            assert self.bidirectional, "streams mode is for BiLSTM layers"
+            in_features = x.shape[-1]
+            p_f = make_params(f"l{start_layer}", in_features)
+            p_b = make_params(f"l{start_layer}_reverse", in_features)
+            w_dtype = _recurrent_dtype(self.dtype, h)
+            return (
+                jnp.swapaxes(project(x, p_f[0], p_f[2]), 0, 1),
+                jnp.swapaxes(
+                    project(jnp.flip(x, axis=1), p_b[0], p_b[2]), 0, 1
+                ),
+                p_f[1].astype(w_dtype),
+                p_b[1].astype(w_dtype),
+            )
+        assert mode == "run", mode
+
         use_pallas = self.dtype in (
             jnp.float32, jnp.bfloat16
         ) and pallas_lstm.supported(batch, h)
-        for layer in range(self.num_layers):
+        for layer in range(start_layer, self.num_layers):
             in_features = x.shape[-1]
             if not self.bidirectional:
                 w_ih, w_hh, bias = make_params(f"l{layer}", in_features)
@@ -355,3 +389,20 @@ def downsample_codes(outputs: Array, dim_neck: int, freq: int) -> Array:
 def upsample_codes(codes: Array, freq: int) -> Array:
     """Repeat-interleave codes back to frame rate (ref: model.py:301-306)."""
     return jnp.repeat(codes, freq, axis=1)
+
+
+def combine_bidir(h_f: Array, h_b: Array) -> Array:
+    """Assemble a BiLSTM output from fused-kernel direction streams.
+
+    h_f: [T, B, H] forward states in real time; h_b: [T, B, H] backward
+    states in reversed time (the kernel's processing order). Returns
+    [B, T, 2H] with the backward half flipped back — exactly the layout
+    LSTM's merged-bidir path produces internally.
+    """
+    return jnp.concatenate(
+        [
+            jnp.swapaxes(h_f, 0, 1),
+            jnp.flip(jnp.swapaxes(h_b, 0, 1), axis=1),
+        ],
+        axis=-1,
+    )

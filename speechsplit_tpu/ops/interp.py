@@ -179,9 +179,12 @@ def resample_fixed(
             s_pos == src_b + 1, lam, 0.0
         )
         m = jnp.where(valid[:, :, None], m, 0.0)
+        # Precision.HIGH (3-pass bf16) keeps ~f32 accuracy on the two
+        # nonzero products per row at half the MXU passes of HIGHEST;
+        # measured vs the gather path at atol 2e-5 in tests.
         return jnp.einsum(
             "bts,bsc->btc", m, x.astype(jnp.float32),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGH,
         ).astype(x.dtype)
     x_fl = jnp.take_along_axis(x, src_c[:, :, None], axis=1)
     x_cl = jnp.take_along_axis(x, (src_c + 1)[:, :, None], axis=1)

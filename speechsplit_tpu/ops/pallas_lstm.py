@@ -389,6 +389,19 @@ def _cell(xp, w, h_st, c_st):
 FOLD = 4
 
 
+def _max_fold(h: int) -> int:
+    """Fold ceiling by recurrence width.
+
+    The wide decoders (H >= 128) are VMEM-bound at fold 4 and measured
+    fold-insensitive beyond it (~1%). The narrow encoder bottlenecks
+    (H = 1/8/32) stream KB-sized blocks whose per-grid-step DMA latency
+    IS the kernel's cost (~0.08 ms each at T=192/fold=4 regardless of
+    H); folding 16 timesteps per grid step cuts the grid from 48 to 12
+    iterations at negligible VMEM (~1.4 MiB at B=16/H=8); deeper
+    unrolling mostly grows Mosaic compile time."""
+    return 4 if h >= 128 else 16
+
+
 def _bd_fwd_kernel(
     xpf_ref, xpb_ref, wf_ref, wb_ref,
     hf_ref, hb_ref, gf_ref, gb_ref, cf_ref, cb_ref,
@@ -458,7 +471,7 @@ def _fold_for(t: int, b: int, h: int) -> int:
     fold=1 exceeds the default stack (wide decoder at B >= ~96), fold=1
     with a tight vmem_limit_bytes raise is the minimal-limit choice.
     """
-    for fold in range(FOLD, 0, -1):
+    for fold in range(_max_fold(h), 0, -1):
         if t % fold == 0 and _bd_vmem_bytes(
             fold, b, h
         ) <= 0.95 * _MOSAIC_DEFAULT_VMEM:
