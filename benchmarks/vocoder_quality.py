@@ -1,0 +1,101 @@
+"""Vocoder quality/speed benchmark: neural iSTFT head vs Griffin-Lim.
+
+Measures mel-resynthesis error (offset-free L1 on the normalized-dB mel
+scale, 0.01 == 1 dB — the same metric as
+tests/test_vocoder.py::test_griffin_lim_mel_fidelity) and warm
+synthesis latency per utterance, on a held-out slice of a wav corpus.
+
+Usage:
+  # generate a synthetic continuous-F0 corpus, train, then:
+  python -m benchmarks.vocoder_quality --wav_dir CORPUS/wavs \
+      --ckpt RUN/12000-V --held_out_from 100
+
+``--held_out_from N`` marks files N.. (in sorted os.walk order — the
+same order cli.train_vocoder consumes with --max_files N) as held out,
+so train/eval splits match without a split file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--wav_dir", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--held_out_from", type=int, required=True)
+    ap.add_argument("--gl_iters", type=int, default=50)
+    ap.add_argument("--limit", type=int, default=12,
+                    help="max held-out utterances to evaluate")
+    args = ap.parse_args(argv)
+
+    from speechsplit_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from speechsplit_tpu.data.prepare import read_wav
+    from speechsplit_tpu.ops.stft import mel_spectrogram
+    from speechsplit_tpu.vocoder import GriffinLimVocoder
+    from speechsplit_tpu.vocoder_neural import load_vocoder
+
+    paths = []
+    for root, _dirs, files in sorted(os.walk(args.wav_dir)):
+        for name in sorted(files):
+            if name.endswith(".wav"):
+                paths.append(os.path.join(root, name))
+    held = paths[args.held_out_from :][: args.limit]
+    if not held:
+        raise SystemExit("no held-out files — check --held_out_from")
+    log(f"{len(paths)} wavs, evaluating {len(held)} held out")
+
+    def mel_of(wav):
+        return np.asarray(mel_spectrogram(jnp.asarray(wav[None])))[0]
+
+    def err_db(mel_in, wav_out):
+        mel_back = mel_of(np.asarray(wav_out))
+        n = min(len(mel_in), len(mel_back)) - 4
+        a, b = mel_in[2:n], mel_back[2:n]
+        offset = (a - b).mean()
+        return float(np.abs(a - b - offset).mean()) * 100
+
+    vocoders = {
+        "griffin_lim": GriffinLimVocoder(n_iter=args.gl_iters),
+        "neural": load_vocoder(args.ckpt),
+    }
+    result = {}
+    for name, voc in vocoders.items():
+        mels = [mel_of(read_wav(p)) for p in held]
+        for m in mels:  # warm all shapes (compile)
+            voc(m)
+        errs, times = [], []
+        for m in mels:
+            t0 = time.perf_counter()
+            out = voc(m)
+            _ = float(np.abs(np.asarray(out)).max())
+            times.append(time.perf_counter() - t0)
+            errs.append(err_db(m, out))
+        result[f"{name}_mel_err_db"] = round(float(np.mean(errs)), 3)
+        result[f"{name}_ms_per_utt"] = round(
+            float(np.mean(times)) * 1e3, 1
+        )
+        log(f"{name}: {result[f'{name}_mel_err_db']} dB, "
+            f"{result[f'{name}_ms_per_utt']} ms/utt")
+
+    import json
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,18 +71,28 @@ def main(argv=None) -> None:
     wavs = _load_corpus(args.wav_dir, args.max_files or None)
     print(f"corpus: {len(wavs)} wavs")
 
-    # front-end mels, one utterance per device call (variable lengths)
+    # front-end mels. Wavs are zero-padded up to half-second length
+    # buckets before extraction: extract_features compiles per input
+    # shape, so feeding native lengths costs one full compile per
+    # distinct wav length (measured ~20 s each through this
+    # environment's compile service — a 100-utterance corpus of random
+    # lengths spent >30 min compiling). Buckets cap that at a handful
+    # of programs; the mel is sliced back to the true frame count.
+    bucket = config.sample_rate // 2
     mels = []
     for w in wavs:
+        n_pad = ((len(w) + bucket - 1) // bucket) * bucket
+        w_pad = np.zeros(n_pad, np.float32)
+        w_pad[: len(w)] = w
         mel, _f0 = extract_features(
-            jnp.asarray(w)[None, :],
+            jnp.asarray(w_pad)[None, :],
             jnp.asarray([len(w)]),
             jnp.asarray([50.0], jnp.float32),
             jnp.asarray([600.0], jnp.float32),
             jax.random.PRNGKey(0),
         )
         mels.append(np.asarray(mel)[0, : len(w) // config.hop_length + 1])
-    print("front-end mels computed")
+    print("front-end mels computed", flush=True)
 
     trainer = VocoderTrainer(
         n_fft=config.fft_length,
