@@ -82,6 +82,13 @@ class SpeechSplitConfig:
 
     # --- TPU-native knobs (no reference counterpart) -----------------------
     compute_dtype: str = "float32"   # "float32" | "bfloat16" matmul inputs
+    # dtype the LSTM kernels save backward residuals (gates/c) in.
+    # bfloat16 halves the dominant residual HBM traffic: 5.41 -> 5.04
+    # ms/step at the reference geometry (+7%), with loss trajectories
+    # matching float32 residuals to ~1e-4 relative over 400 steps
+    # (BENCHMARKS.md). "float32" restores bit-identical gradients vs
+    # the lax.scan path (the exact-parity tests pin it).
+    residual_dtype: str = "bfloat16"
     # "default": single-pass bf16 multiply on the MXU (fast path);
     # "highest": full f32 multiplies (~2x recurrence cost, strict
     # numerics — see PARITY.md #7)
@@ -204,14 +211,15 @@ def _split_overrides(spec: str) -> list[str]:
 
 
 def resolve_dtype(name: str):
-    """Map ``config.compute_dtype`` to a jnp dtype (imported lazily so the
-    config module stays importable without initializing JAX)."""
+    """Map a dtype config string (``compute_dtype``/``residual_dtype``)
+    to a jnp dtype (imported lazily so the config module stays
+    importable without initializing JAX)."""
     import jax.numpy as jnp
 
     table = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
     if name not in table:
         raise ValueError(
-            f"compute_dtype must be one of {sorted(table)}, got {name!r}"
+            f"dtype must be one of {sorted(table)}, got {name!r}"
         )
     return table[name]
 

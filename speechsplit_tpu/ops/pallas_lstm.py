@@ -62,12 +62,16 @@ _MOSAIC_DEFAULT_VMEM = 16 * 1024 * 1024
 _VMEM_CEILING = 100 * 1024 * 1024
 
 # dtype for the saved backward residuals (gates/c). bfloat16 halves the
-# residual HBM traffic at <=2% max-relative gradient error, but measured
-# only ~1% step-time gain (8.21 -> 8.11 ms at reference geometry) — the
-# step is not residual-bandwidth-bound in practice — so the default
-# keeps gradients bit-identical to the scan path. Flip to jnp.bfloat16
-# to trade exactness for the last percent.
-RESIDUAL_DTYPE = jnp.float32
+# residual HBM traffic; once the round-2 AD-path/fusion work shrank
+# everything else, that traffic (and the VMEM-staging copies feeding
+# on it) became the largest remaining cost, so bf16 now buys 7%
+# (5.41 -> 5.04 ms/step at reference geometry — the round-1 measure of
+# ~1% predates those fixes). Gradient error is <= 2% max-relative vs
+# the f32-residual/scan path; training is unaffected (loss trajectory
+# matches f32 residuals to ~1e-4 relative over 400 steps,
+# BENCHMARKS.md). ``config.residual_dtype`` sets this per run via
+# create_train_state; exact-parity tests pin jnp.float32.
+RESIDUAL_DTYPE = jnp.bfloat16
 
 
 def _vmem_params(bound_bytes: float):

@@ -59,8 +59,12 @@ def create_train_state(
     model: str = "speechsplit",
 ) -> Tuple[Any, TrainState]:
     """Initialize (model, TrainState) for 'speechsplit' or 'f0_converter'."""
+    from speechsplit_tpu.ops import pallas_lstm
+
     t = config.max_len_pad
     dtype = resolve_dtype(config.compute_dtype)
+    # residual precision is a trace-time property of the LSTM kernels
+    pallas_lstm.RESIDUAL_DTYPE = resolve_dtype(config.residual_dtype)
     if model == "speechsplit":
         module = SpeechSplit(config, dtype=dtype)
         variables = module.init(

@@ -79,5 +79,32 @@ def test_resolve_dtype_rejects_unknown():
 
     assert resolve_dtype("float32") == jnp.float32
     assert resolve_dtype("bfloat16") == jnp.bfloat16
-    with pytest.raises(ValueError, match="compute_dtype"):
+    with pytest.raises(ValueError, match="dtype must be"):
         resolve_dtype("float16")
+
+
+def test_residual_dtype_config_plumb():
+    """config.residual_dtype sets the kernels' residual precision at
+    state creation; "float32" restores the exact-gradients mode."""
+    from speechsplit_tpu.config import SpeechSplitConfig
+    from speechsplit_tpu.ops import pallas_lstm
+    from speechsplit_tpu.training.train_step import create_train_state
+
+    tiny = dict(
+        dim_enc=64, dim_enc_2=32, dim_enc_3=64,
+        dim_neck=4, dim_neck_2=1, dim_neck_3=8,
+        dim_dec_mel=64, dim_dec_f0=32,
+    )
+    prev = pallas_lstm.RESIDUAL_DTYPE
+    try:
+        create_train_state(
+            SpeechSplitConfig(**tiny), jax.random.PRNGKey(0)
+        )
+        assert pallas_lstm.RESIDUAL_DTYPE == jnp.bfloat16  # default
+        create_train_state(
+            SpeechSplitConfig(**tiny, residual_dtype="float32"),
+            jax.random.PRNGKey(0),
+        )
+        assert pallas_lstm.RESIDUAL_DTYPE == jnp.float32
+    finally:
+        pallas_lstm.RESIDUAL_DTYPE = prev
