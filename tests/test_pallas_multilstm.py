@@ -100,6 +100,7 @@ def _tiny_config():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("train", [False, True])
 def test_generator_fused_path_matches_unfused(rng, train):
     """SpeechSplit forward with the fused encoder-group kernel must match
@@ -150,6 +151,7 @@ def test_generator_fused_path_matches_unfused(rng, train):
     )
 
 
+@pytest.mark.slow
 def test_f0_converter_fused_path_matches_unfused(rng):
     from speechsplit_tpu.models.generator import F0Converter
 
