@@ -55,6 +55,12 @@ def main(argv=None) -> None:
         "default synthesizes with the built-in Griffin-Lim",
     )
     parser.add_argument("--hparams", default="", help="k=v,k=v overrides")
+    parser.add_argument(
+        "--compress_results", action="store_true",
+        help="fetch result mels from the device as bfloat16 (halves "
+        "the transfer on slow links; ~0.2 dB rounding, far below the "
+        "vocoder's own error)",
+    )
     args = parser.parse_args(argv)
 
     from speechsplit_tpu.utils import enable_compile_cache
@@ -85,6 +91,7 @@ def main(argv=None) -> None:
         F0Converter(config, dtype=dtype), p_params,
         [(src, trg)],
         conditions=args.conditions.split(","),
+        compress_fetch=args.compress_results,
     )[0]
 
     os.makedirs(args.out_dir, exist_ok=True)

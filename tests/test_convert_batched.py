@@ -45,3 +45,25 @@ def test_batched_matches_sequential(rng):
         for (bn, bm), (sn, sm) in zip(batched[pi], sequential):
             assert bn == sn
             np.testing.assert_allclose(bm, sm, atol=1e-5), bn
+
+
+@pytest.mark.slow
+def test_compress_fetch_matches_within_bf16(rng):
+    """compress_fetch=True returns the same mels to bf16 rounding."""
+    g_module, g_state = create_train_state(CFG, jax.random.PRNGKey(0))
+    p_module, p_state = create_train_state(
+        CFG, jax.random.PRNGKey(1), "f0_converter"
+    )
+    pairs = [(_utt(rng, "a", "u0", 100), _utt(rng, "b", "u1", 120))]
+    exact = convert_batched(
+        g_module, g_state.params, p_module, p_state.params, pairs
+    )[0]
+    packed = convert_batched(
+        g_module, g_state.params, p_module, p_state.params, pairs,
+        compress_fetch=True,
+    )[0]
+    assert [n for n, _ in exact] == [n for n, _ in packed]
+    for (_, a), (_, b) in zip(exact, packed):
+        assert a.shape == b.shape
+        assert b.dtype == np.float32
+        np.testing.assert_allclose(a, b, atol=4e-3)
