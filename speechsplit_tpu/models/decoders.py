@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from speechsplit_tpu.config import SpeechSplitConfig
+from speechsplit_tpu.config import SpeechSplitConfig, resolve_dtype
 from speechsplit_tpu.models.layers import LSTM, Linear
 
 Array = jax.Array
@@ -34,6 +34,7 @@ class MelDecoder(nn.Module):
         outputs = LSTM(
             cfg.dim_dec_mel, num_layers=3, bidirectional=True,
             dtype=self.dtype, name="lstm",
+            residual_dtype=resolve_dtype(cfg.residual_dtype),
         )(x)
         return Linear(cfg.dim_freq, dtype=self.dtype, name="projection")(
             outputs
@@ -55,6 +56,7 @@ class F0Decoder(nn.Module):
         outputs = LSTM(
             cfg.dim_dec_f0, num_layers=2, bidirectional=True,
             dtype=self.dtype, name="lstm",
+            residual_dtype=resolve_dtype(cfg.residual_dtype),
         )(x)
         return Linear(cfg.dim_f0, dtype=self.dtype, name="projection")(
             outputs

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from speechsplit_tpu.config import SpeechSplitConfig
+from speechsplit_tpu.config import SpeechSplitConfig, resolve_dtype
 from speechsplit_tpu.models.layers import (
     LSTM,
     Conv1d,
@@ -63,6 +63,7 @@ class RhythmEncoder(nn.Module):
         self.lstm = LSTM(
             cfg.dim_neck_2, num_layers=1, bidirectional=True,
             dtype=self.dtype,
+            residual_dtype=resolve_dtype(cfg.residual_dtype),
         )
 
     def pre(self, x: Array) -> Array:
@@ -112,6 +113,7 @@ class F0Encoder(nn.Module):
         self.lstm = LSTM(
             cfg.dim_neck_3, num_layers=1, bidirectional=True,
             dtype=self.dtype,
+            residual_dtype=resolve_dtype(cfg.residual_dtype),
         )
 
     def pre(self, x: Array, train: bool = False) -> Array:
@@ -194,10 +196,12 @@ class ContentPitchEncoder(nn.Module):
         self.lstm_content = LSTM(
             cfg.dim_neck, num_layers=2, bidirectional=True,
             dtype=self.dtype,
+            residual_dtype=resolve_dtype(cfg.residual_dtype),
         )
         self.lstm_pitch = LSTM(
             cfg.dim_neck_3, num_layers=1, bidirectional=True,
             dtype=self.dtype,
+            residual_dtype=resolve_dtype(cfg.residual_dtype),
         )
 
     def pre(self, x_f0: Array, train: bool = False):

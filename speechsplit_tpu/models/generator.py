@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from speechsplit_tpu.config import SpeechSplitConfig
+from speechsplit_tpu.config import SpeechSplitConfig, resolve_dtype
 from speechsplit_tpu.models.decoders import F0Decoder, MelDecoder
 from speechsplit_tpu.models.encoders import (
     ContentPitchEncoder,
@@ -96,6 +96,7 @@ class SpeechSplit(nn.Module):
             s_r = self.encoder_rhythm.lstm(xr, mode="streams")
             outs = multi_bilstm_sequence(
                 3,
+                resolve_dtype(cfg.residual_dtype),
                 s_c[0], s_c[1], s_p[0], s_p[1], s_r[0], s_r[1],
                 s_c[2], s_c[3], s_p[2], s_p[3], s_r[2], s_r[3],
             )
@@ -170,6 +171,7 @@ class F0Converter(nn.Module):
             s_r = self.encoder_rhythm.lstm(xr, mode="streams")
             outs = multi_bilstm_sequence(
                 2,
+                resolve_dtype(cfg.residual_dtype),
                 s_f[0], s_f[1], s_r[0], s_r[1],
                 s_f[2], s_f[3], s_r[2], s_r[3],
             )

@@ -175,42 +175,47 @@ def _recurrent_dtype(dtype: Dtype, hidden: int) -> Dtype:
 
 
 def _lstm_direction(
-    x_proj: Array, w_hh: Array, reverse: bool, dtype: Dtype
+    x_proj: Array,
+    w_hh: Array,
+    reverse: bool,
+    dtype: Dtype,
+    residual_dtype: Optional[Dtype] = None,
 ) -> Array:
     """Run one LSTM direction over pre-projected inputs.
 
-    x_proj: [B, T, 4H] = x @ W_ih^T + (b_ih + b_hh), gates ordered i,f,g,o.
+    x_proj: [B, T, 4H] = x @ W_ih^T + (b_ih + b_hh), gates ordered i,f,g,o,
+    in real time order regardless of direction.
     w_hh:   [H, 4H].
-    Returns hidden states [B, T, H].
+    Returns hidden states [B, T, H] in real time order.
 
     Dispatch: wide, lane-aligned recurrences (the decoders) run the fused
     Pallas sequence kernel (ops/pallas_lstm.py — W_hh pinned in VMEM,
-    state never leaves chip); narrow bottleneck LSTMs and CPU runs take
-    the lax.scan path. Both produce identical numerics.
+    state never leaves chip; reverse direction realized by the kernel's
+    index maps, no flipped copies); narrow bottleneck LSTMs and CPU runs
+    take the lax.scan path. Both produce identical numerics.
     """
     from speechsplit_tpu.ops import pallas_lstm
 
     batch, _, four_h = x_proj.shape
     hidden = four_h // 4
     dtype = _recurrent_dtype(dtype, hidden)
-    if reverse:
-        x_proj = jnp.flip(x_proj, axis=1)
-    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H] time-major
 
     if dtype in (jnp.float32, jnp.bfloat16) and pallas_lstm.supported(
         batch, hidden
     ):
+        xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H] time-major
         # x_proj is already f32 (the input projection accumulates in f32);
         # only the recurrent weight is carried at compute precision — the
         # kernel casts h to w_hh's dtype per step, mirroring the scan cell.
         hs = pallas_lstm.lstm_sequence(
-            xs.astype(jnp.float32), w_hh.astype(dtype)
+            xs.astype(jnp.float32), w_hh.astype(dtype), residual_dtype,
+            reverse,
         )
-        hs = jnp.swapaxes(hs, 0, 1)
-        if reverse:
-            hs = jnp.flip(hs, axis=1)
-        return hs
+        return jnp.swapaxes(hs, 0, 1)
 
+    if reverse:
+        x_proj = jnp.flip(x_proj, axis=1)
+    xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H] time-major
     w_hh_c = w_hh.astype(dtype)
 
     def cell(carry, xt):
@@ -253,6 +258,11 @@ class LSTM(nn.Module):
     num_layers: int = 1
     bidirectional: bool = True
     dtype: Dtype = jnp.float32
+    # saved-residual precision for the Pallas backward (None -> the
+    # kernel-module default). Threaded from config.residual_dtype by
+    # the encoders/decoders so it is a per-model property, not a
+    # process global (ADVICE r2).
+    residual_dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(
@@ -263,8 +273,8 @@ class LSTM(nn.Module):
 
         mode="streams": declare layer ``start_layer``'s parameters and
         return its kernel-ready recurrence streams
-        ``(xp_f [T,B,4H], xp_b [T,B,4H] pre-time-reversed, w_f, w_b)``
-        WITHOUT running the recurrence — the caller feeds them to
+        ``(xp_f [T,B,4H], xp_b [T,B,4H], w_f, w_b)`` — both projected
+        input streams in real time order — WITHOUT running the recurrence — the caller feeds them to
         ``ops.pallas_multilstm.multi_bilstm_sequence`` together with
         streams of *other, independent* LSTMs so all their sequential
         cell chains interleave in one kernel grid (a narrow recurrence
@@ -307,9 +317,7 @@ class LSTM(nn.Module):
             w_dtype = _recurrent_dtype(self.dtype, h)
             return (
                 jnp.swapaxes(project(x, p_f[0], p_f[2]), 0, 1),
-                jnp.swapaxes(
-                    project(jnp.flip(x, axis=1), p_b[0], p_b[2]), 0, 1
-                ),
+                jnp.swapaxes(project(x, p_b[0], p_b[2]), 0, 1),
                 p_f[1].astype(w_dtype),
                 p_b[1].astype(w_dtype),
             )
@@ -323,7 +331,8 @@ class LSTM(nn.Module):
             if not self.bidirectional:
                 w_ih, w_hh, bias = make_params(f"l{layer}", in_features)
                 x = _lstm_direction(
-                    project(x, w_ih, bias), w_hh, False, self.dtype
+                    project(x, w_ih, bias), w_hh, False, self.dtype,
+                    self.residual_dtype,
                 )
                 continue
 
@@ -332,28 +341,27 @@ class LSTM(nn.Module):
             if use_pallas and pallas_lstm.merged_bidir_fits(
                 x.shape[1], batch, h
             ):
-                # both directions advance in ONE kernel grid; the
-                # backward stream is fed (and returned) time-reversed
+                # both directions advance in ONE kernel grid; all
+                # streams stay in real time order (the kernel's index
+                # maps realize the backward direction — no flips)
                 xp_f = project(x, p_f[0], p_f[2])
-                xp_b = project(jnp.flip(x, axis=1), p_b[0], p_b[2])
+                xp_b = project(x, p_b[0], p_b[2])
                 w_dtype = _recurrent_dtype(self.dtype, h)
                 hs_f, hs_b = pallas_lstm.bilstm_sequence(
                     jnp.swapaxes(xp_f, 0, 1),
                     jnp.swapaxes(xp_b, 0, 1),
                     p_f[1].astype(w_dtype),
                     p_b[1].astype(w_dtype),
+                    self.residual_dtype,
                 )
-                x = jnp.concatenate(
-                    [
-                        jnp.swapaxes(hs_f, 0, 1),
-                        jnp.flip(jnp.swapaxes(hs_b, 0, 1), axis=1),
-                    ],
-                    axis=-1,
+                x = jnp.swapaxes(
+                    jnp.concatenate([hs_f, hs_b], axis=-1), 0, 1
                 )
             else:
                 outs = [
                     _lstm_direction(
-                        project(x, p[0], p[2]), p[1], reverse, self.dtype
+                        project(x, p[0], p[2]), p[1], reverse,
+                        self.dtype, self.residual_dtype,
                     )
                     for p, reverse in ((p_f, False), (p_b, True))
                 ]
@@ -394,15 +402,9 @@ def upsample_codes(codes: Array, freq: int) -> Array:
 def combine_bidir(h_f: Array, h_b: Array) -> Array:
     """Assemble a BiLSTM output from fused-kernel direction streams.
 
-    h_f: [T, B, H] forward states in real time; h_b: [T, B, H] backward
-    states in reversed time (the kernel's processing order). Returns
-    [B, T, 2H] with the backward half flipped back — exactly the layout
+    h_f, h_b: [T, B, H] forward/backward direction states, BOTH in real
+    time order (the round-3 kernel convention — reversal happens inside
+    the kernels' index maps). Returns [B, T, 2H] — exactly the layout
     LSTM's merged-bidir path produces internally.
     """
-    return jnp.concatenate(
-        [
-            jnp.swapaxes(h_f, 0, 1),
-            jnp.flip(jnp.swapaxes(h_b, 0, 1), axis=1),
-        ],
-        axis=-1,
-    )
+    return jnp.swapaxes(jnp.concatenate([h_f, h_b], axis=-1), 0, 1)

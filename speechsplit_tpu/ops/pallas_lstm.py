@@ -61,17 +61,26 @@ FORCE_INTERPRET = False
 _MOSAIC_DEFAULT_VMEM = 16 * 1024 * 1024
 _VMEM_CEILING = 100 * 1024 * 1024
 
-# dtype for the saved backward residuals (gates/c). bfloat16 halves the
-# residual HBM traffic; once the round-2 AD-path/fusion work shrank
-# everything else, that traffic (and the VMEM-staging copies feeding
-# on it) became the largest remaining cost, so bf16 now buys 7%
-# (5.41 -> 5.04 ms/step at reference geometry — the round-1 measure of
-# ~1% predates those fixes). Gradient error is <= 2% max-relative vs
-# the f32-residual/scan path; training is unaffected (loss trajectory
-# matches f32 residuals to ~1e-4 relative over 400 steps,
-# BENCHMARKS.md). ``config.residual_dtype`` sets this per run via
-# create_train_state; exact-parity tests pin jnp.float32.
+# DEFAULT dtype for the saved backward residuals (gates/c), used when a
+# caller passes residual_dtype=None. bfloat16 halves the residual HBM
+# traffic; once the round-2 AD-path/fusion work shrank everything else,
+# that traffic (and the VMEM-staging copies feeding on it) became the
+# largest remaining cost, so bf16 now buys 7% (5.41 -> 5.04 ms/step at
+# reference geometry — the round-1 measure of ~1% predates those
+# fixes). Gradient error is <= 2% max-relative vs the f32-residual/scan
+# path; training is unaffected (loss trajectory matches f32 residuals
+# to ~1e-4 relative over 400 steps, BENCHMARKS.md).
+# ``config.residual_dtype`` is threaded EXPLICITLY through the model
+# layers (models/layers.py LSTM.residual_dtype) down to these kernels'
+# nondiff args — it is a trace-time property, and a process-global
+# would let a second model's config silently change the first model's
+# gradient precision on a later retrace (ADVICE r2). Kernel-level
+# tests that want a specific precision pin this module default.
 RESIDUAL_DTYPE = jnp.bfloat16
+
+
+def _resolve_residual(residual_dtype):
+    return RESIDUAL_DTYPE if residual_dtype is None else residual_dtype
 
 
 def _vmem_params(bound_bytes: float):
@@ -166,17 +175,25 @@ def _infer_kernel(xp_ref, whh_ref, h_ref, h_st, c_st):
     c_st[:] = c
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _infer(x_proj: Array, w_hh: Array) -> Array:
+def _sd_maps(t: int, reverse: bool):
+    """(processing-order index map) for the single-direction kernels:
+    grid step i handles real row i (forward) or T-1-i (reverse)."""
+    if reverse:
+        return lambda i: (t - 1 - i, 0, 0)
+    return lambda i: (i, 0, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("reverse",))
+def _infer(x_proj: Array, w_hh: Array, reverse: bool = False) -> Array:
     t, b, four_h = x_proj.shape
     h_dim = four_h // 4
+    seq = _sd_maps(t, reverse)
     return pl.pallas_call(
         _infer_kernel,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(
-                (1, b, four_h), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, b, four_h), seq, memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (h_dim, four_h), lambda i: (0, 0),
@@ -184,7 +201,7 @@ def _infer(x_proj: Array, w_hh: Array) -> Array:
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, b, h_dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, b, h_dim), seq, memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
         scratch_shapes=[
@@ -196,21 +213,28 @@ def _infer(x_proj: Array, w_hh: Array) -> Array:
     )(x_proj, w_hh)
 
 
-@functools.partial(jax.jit, static_argnames=("residual_dtype",))
+@functools.partial(
+    jax.jit, static_argnames=("residual_dtype", "reverse")
+)
 def _fwd(
-    x_proj: Array, w_hh: Array, residual_dtype=jnp.float32
+    x_proj: Array,
+    w_hh: Array,
+    residual_dtype=jnp.float32,
+    reverse: bool = False,
 ) -> Tuple[Array, Array, Array]:
-    """x_proj: [T, B, 4H] (pre-projected inputs incl. biases), w_hh [H, 4H].
-    Returns (h [T,B,H], gates [T,B,4H], c [T,B,H])."""
+    """x_proj: [T, B, 4H] (pre-projected inputs incl. biases, real time
+    order), w_hh [H, 4H]. Returns (h [T,B,H], gates [T,B,4H],
+    c [T,B,H]), all in real time order (reverse=True runs the
+    recurrence T-1 -> 0 via the index maps)."""
     t, b, four_h = x_proj.shape
     h_dim = four_h // 4
+    seq = _sd_maps(t, reverse)
     return pl.pallas_call(
         _fwd_kernel,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(
-                (1, b, four_h), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, b, four_h), seq, memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (h_dim, four_h), lambda i: (0, 0),
@@ -218,18 +242,9 @@ def _fwd(
             ),
         ],
         out_specs=[
-            pl.BlockSpec(
-                (1, b, h_dim), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, b, four_h), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, b, h_dim), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, b, h_dim), seq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, four_h), seq, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h_dim), seq, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
@@ -249,10 +264,11 @@ def _fwd(
 
 
 def _bwd_kernel(
-    dh_out_ref, gates_ref, c_ref, cprev_ref, whh_ref,
+    dh_out_ref, gates_ref, c_ref, cpe_ref, whh_ref,
     dxp_ref, dh_st, dc_st,
 ):
     t = pl.program_id(0)
+    last = pl.num_programs(0) - 1
 
     @pl.when(t == 0)
     def _():
@@ -268,7 +284,11 @@ def _bwd_kernel(
     do = dh * tanh_c
     dc = dc_st[:] + dh * o * (1.0 - tanh_c * tanh_c)
     di = dc * g
-    df = dc * cprev_ref[0].astype(jnp.float32)
+    # c_prev streams from the saved c itself through a shifted index
+    # map (no materialized shift); the final grid step handles the
+    # recurrence's first cell, whose c_prev is the zero initial state
+    c_prev = jnp.where(t == last, 0.0, cpe_ref[0].astype(jnp.float32))
+    df = dc * c_prev
     dg = dc * i
     d_pre = jnp.concatenate(
         [
@@ -280,9 +300,9 @@ def _bwd_kernel(
         axis=-1,
     )
     dxp_ref[0] = d_pre
-    # carry to step t-1  (dW_hh is NOT accumulated here: one big
-    # [H, T*B] @ [T*B, 4H] matmul outside the kernel beats 192 skinny
-    # [H, B] @ [B, 4H] accumulations on the MXU)
+    # carry to the previous processing step (dW_hh is NOT accumulated
+    # here: one big [H, T*B] @ [T*B, 4H] matmul outside the kernel
+    # beats 192 skinny [H, B] @ [B, 4H] accumulations on the MXU)
     dh_st[:] = jax.lax.dot_general(
         d_pre.astype(whh_ref.dtype), whh_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -290,26 +310,34 @@ def _bwd_kernel(
     dc_st[:] = dc * f
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _bwd_call(dh_out, gates, c, c_prev, w_hh):
+@functools.partial(jax.jit, static_argnames=("reverse",))
+def _bwd_call(dh_out, gates, c, w_hh, reverse: bool = False):
+    """Grad recurrence: walks the OPPOSITE of the forward processing
+    order — descending real time for a forward-direction LSTM,
+    ascending for a reverse-direction one."""
     t, b, four_h = gates.shape
     h_dim = four_h // 4
-    rev = lambda i: (t - 1 - i, 0, 0)  # walk time backwards
+    if reverse:
+        walk = lambda i: (i, 0, 0)
+        edge = lambda i: (jnp.minimum(i + 1, t - 1), 0, 0)
+    else:
+        walk = lambda i: (t - 1 - i, 0, 0)
+        edge = lambda i: (jnp.maximum(t - 2 - i, 0), 0, 0)
     return pl.pallas_call(
         _bwd_kernel,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, four_h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h_dim), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h_dim), walk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, four_h), walk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h_dim), walk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h_dim), edge, memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (h_dim, four_h), lambda i: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, b, four_h), rev, memory_space=pltpu.VMEM
+            (1, b, four_h), walk, memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
         scratch_shapes=[
@@ -318,40 +346,54 @@ def _bwd_call(dh_out, gates, c, c_prev, w_hh):
         ],
         interpret=FORCE_INTERPRET,
         compiler_params=_vmem_params(_sd_vmem_bytes(b, h_dim)),
-    )(dh_out, gates, c, c_prev, w_hh)
+    )(dh_out, gates, c, c, w_hh)
 
 
 # ------------------------------------------------------------ public op
 
 
-@jax.custom_vjp
-def lstm_sequence(x_proj: Array, w_hh: Array) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def lstm_sequence(
+    x_proj: Array, w_hh: Array, residual_dtype=None,
+    reverse: bool = False,
+) -> Array:
     """Run an LSTM over time: x_proj [T, B, 4H], w_hh [H, 4H] -> h [T, B, H].
 
     Gate layout i, f, g, o (torch-compatible, matching models/layers.py).
     Zero initial state. Differentiable (custom VJP, Pallas both ways).
-    Undifferentiated (inference) calls run a lean kernel with no
-    residual outputs; under jax.grad the vjp-fwd kernel saves residuals.
+    ``reverse=True`` runs the recurrence T-1 -> 0 with inputs AND
+    outputs in real time order (reversal happens in the kernels' block
+    index maps, so no flipped copies hit HBM). Undifferentiated
+    (inference) calls run a lean kernel with no residual outputs; under
+    jax.grad the vjp-fwd kernel saves residuals in ``residual_dtype``
+    (None -> module default RESIDUAL_DTYPE).
     """
-    return _infer(x_proj, w_hh)
+    return _infer(x_proj, w_hh, reverse=reverse)
 
 
-def _vjp_fwd(x_proj, w_hh):
-    h, gates, c = _fwd(x_proj, w_hh, residual_dtype=RESIDUAL_DTYPE)
+def _vjp_fwd(x_proj, w_hh, residual_dtype, reverse):
+    h, gates, c = _fwd(
+        x_proj, w_hh,
+        residual_dtype=_resolve_residual(residual_dtype),
+        reverse=reverse,
+    )
     return h, (gates, c, h, w_hh)
 
 
-def _vjp_bwd(residuals, dh_out):
+def _vjp_bwd(residual_dtype, reverse, residuals, dh_out):
     gates, c, h, w_hh = residuals
     t, b, four_h = gates.shape
     h_dim = four_h // 4
-    c_prev = jnp.concatenate([jnp.zeros_like(c[:1]), c[:-1]], axis=0)
-    h_prev = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]], axis=0)
-    dxp = _bwd_call(dh_out, gates, c, c_prev, w_hh)
-    # dW_hh = sum_t h_prev[t]^T @ dxp[t] as one large contraction
+    dxp = _bwd_call(dh_out, gates, c, w_hh, reverse=reverse)
+    # dW_hh = sum_t h_prev[t]^T @ dxp[t] as one large contraction over
+    # contiguous slices (processing predecessor: t-1 fwd / t+1 reverse)
+    if reverse:
+        h_sl, dx_sl = h[1:], dxp[:-1]
+    else:
+        h_sl, dx_sl = h[:-1], dxp[1:]
     dwhh = jax.lax.dot_general(
-        h_prev.reshape(t * b, h_dim),
-        dxp.reshape(t * b, four_h),
+        h_sl.reshape((t - 1) * b, h_dim),
+        dx_sl.reshape((t - 1) * b, four_h),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -366,10 +408,21 @@ lstm_sequence.defvjp(_vjp_fwd, _vjp_bwd)
 #
 # A BiLSTM's two directions are independent recurrences of identical
 # shape. Running them as two kernel launches serializes two full grid
-# traversals; this merged kernel advances BOTH in each grid step (the
-# backward stream's inputs arrive pre-time-flipped, so in kernel time
-# both run "forward"), halving grid overhead and letting the second
-# stream's VPU work overlap the first's MXU matmul.
+# traversals; this merged kernel advances BOTH in each grid step,
+# halving grid overhead and letting the second stream's VPU work
+# overlap the first's MXU matmul.
+#
+# Layout discipline (round 3): ALL stream inputs and outputs are in
+# REAL time order. The backward direction is realized inside the
+# kernel — its blocks are fetched with a time-REVERSED BlockSpec index
+# map and its rows processed back to front — so no jnp.flip of a
+# [T, B, 4H] activation ever materializes in HBM (two flips per
+# layer-direction in fwd+bwd previously; part of the 0.69 ms/step of
+# staging copies in the round-2 device profile). Likewise the grad
+# kernels read c_{t-1} through a row-shifted index map on the saved c
+# itself plus in-block neighbors, replacing the materialized _shift
+# copies, and dW contractions consume contiguous slices (h[:-1]) not
+# concatenated copies.
 
 
 def _cell(xp, w, h_st, c_st):
@@ -411,6 +464,14 @@ def _bd_fwd_kernel(
     hf_ref, hb_ref, gf_ref, gb_ref, cf_ref, cb_ref,
     hf_st, cf_st, hb_st, cb_st,
 ):
+    """Both directions per grid step; everything in REAL time order.
+
+    The forward stream's blocks arrive via the ascending index map and
+    its rows are processed 0..fold-1; the backward stream's blocks
+    arrive via the DESCENDING map (grid step i = real block grid-1-i)
+    and its rows are processed fold-1..0 — so its recurrence runs
+    T-1 -> 0 while its inputs/outputs stay un-flipped in HBM.
+    """
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -426,10 +487,11 @@ def _bd_fwd_kernel(
         gf_ref[k] = gates.astype(gf_ref.dtype)
         hf_st[:], cf_st[:] = h, c
 
-        h, c, gates = _cell(xpb_ref[k], wb_ref[:], hb_st[:], cb_st[:])
-        hb_ref[k] = h
-        cb_ref[k] = c.astype(cb_ref.dtype)
-        gb_ref[k] = gates.astype(gb_ref.dtype)
+        kb = fold - 1 - k  # backward stream walks its block back->front
+        h, c, gates = _cell(xpb_ref[kb], wb_ref[:], hb_st[:], cb_st[:])
+        hb_ref[kb] = h
+        cb_ref[kb] = c.astype(cb_ref.dtype)
+        gb_ref[kb] = gates.astype(gb_ref.dtype)
         hb_st[:], cb_st[:] = h, c
 
 
@@ -488,16 +550,20 @@ def _bd_fwd(xp_f, xp_b, w_f, w_b, residual_dtype=jnp.float32):
     t, b, four_h = xp_f.shape
     h_dim = four_h // 4
     fold = _fold_for(t, b, h_dim)
+    grid = t // fold
     seq = lambda i: (i, 0, 0)
+    rev = lambda i: (grid - 1 - i, 0, 0)
     full = lambda i: (0, 0)
-    blk_x = pl.BlockSpec((fold, b, four_h), seq, memory_space=pltpu.VMEM)
-    blk_h = pl.BlockSpec((fold, b, h_dim), seq, memory_space=pltpu.VMEM)
+    bxf = pl.BlockSpec((fold, b, four_h), seq, memory_space=pltpu.VMEM)
+    bxb = pl.BlockSpec((fold, b, four_h), rev, memory_space=pltpu.VMEM)
+    bhf = pl.BlockSpec((fold, b, h_dim), seq, memory_space=pltpu.VMEM)
+    bhb = pl.BlockSpec((fold, b, h_dim), rev, memory_space=pltpu.VMEM)
     blk_w = pl.BlockSpec((h_dim, four_h), full, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bd_fwd_kernel,
-        grid=(t // fold,),
-        in_specs=[blk_x, blk_x, blk_w, blk_w],
-        out_specs=[blk_h, blk_h, blk_x, blk_x, blk_h, blk_h],
+        grid=(grid,),
+        in_specs=[bxf, bxb, blk_w, blk_w],
+        out_specs=[bhf, bhb, bxf, bxb, bhf, bhb],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
             jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
@@ -531,8 +597,9 @@ def _bd_infer_kernel(
         h, c, _ = _cell(xpf_ref[k], wf_ref[:], hf_st[:], cf_st[:])
         hf_ref[k] = h
         hf_st[:], cf_st[:] = h, c
-        h, c, _ = _cell(xpb_ref[k], wb_ref[:], hb_st[:], cb_st[:])
-        hb_ref[k] = h
+        kb = fold - 1 - k
+        h, c, _ = _cell(xpb_ref[kb], wb_ref[:], hb_st[:], cb_st[:])
+        hb_ref[kb] = h
         hb_st[:], cb_st[:] = h, c
 
 
@@ -541,16 +608,20 @@ def _bd_infer(xp_f, xp_b, w_f, w_b):
     t, b, four_h = xp_f.shape
     h_dim = four_h // 4
     fold = _fold_for(t, b, h_dim)
+    grid = t // fold
     seq = lambda i: (i, 0, 0)
+    rev = lambda i: (grid - 1 - i, 0, 0)
     full = lambda i: (0, 0)
-    blk_x = pl.BlockSpec((fold, b, four_h), seq, memory_space=pltpu.VMEM)
-    blk_h = pl.BlockSpec((fold, b, h_dim), seq, memory_space=pltpu.VMEM)
+    bxf = pl.BlockSpec((fold, b, four_h), seq, memory_space=pltpu.VMEM)
+    bxb = pl.BlockSpec((fold, b, four_h), rev, memory_space=pltpu.VMEM)
+    bhf = pl.BlockSpec((fold, b, h_dim), seq, memory_space=pltpu.VMEM)
+    bhb = pl.BlockSpec((fold, b, h_dim), rev, memory_space=pltpu.VMEM)
     blk_w = pl.BlockSpec((h_dim, four_h), full, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bd_infer_kernel,
-        grid=(t // fold,),
-        in_specs=[blk_x, blk_x, blk_w, blk_w],
-        out_specs=[blk_h, blk_h],
+        grid=(grid,),
+        in_specs=[bxf, bxb, blk_w, blk_w],
+        out_specs=[bhf, bhb],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
             jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
@@ -592,53 +663,92 @@ def _cell_bwd(dh_out, g_all, c, c_prev, w, dh_st, dc_st):
 
 def _bd_bwd_kernel(
     dhf_ref, dhb_ref, gf_ref, gb_ref, cf_ref, cb_ref,
-    cpf_ref, cpb_ref, wf_ref, wb_ref,
+    cpf_edge, cpb_edge, wf_ref, wb_ref,
     dxf_ref, dxb_ref,
     dhf_st, dcf_st, dhb_st, dcb_st,
 ):
-    t = pl.program_id(0)
+    """Grad recurrences, everything in REAL time order.
 
-    @pl.when(t == 0)
+    The forward stream's grad walks T-1 -> 0 (descending block map,
+    rows back to front); the backward stream's grad walks 0 -> T-1
+    (ascending map). Each cell's c_prev comes from its neighbor row of
+    the streamed c block; the one row per block that crosses the block
+    boundary is streamed separately as a [1, B, H] edge block sliced
+    from the SAME saved-c array by a shifted index map — no
+    materialized shift copy (round-2 profile: those copies were part of
+    the 0.69 ms staging cost).
+    """
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+
+    @pl.when(i == 0)
     def _():
         for st in (dhf_st, dcf_st, dhb_st, dcb_st):
             st[:] = jnp.zeros_like(st)
 
     fold = gf_ref.shape[0]
-    for k in reversed(range(fold)):  # blocks reversed AND rows within
+    for k in reversed(range(fold)):
+        # forward stream, rows back to front (real t descending)
+        if k > 0:
+            cpf = cf_ref[k - 1].astype(jnp.float32)
+        else:  # row below the block boundary; zero at real t == 0
+            cpf = jnp.where(
+                i == last, 0.0, cpf_edge[0].astype(jnp.float32)
+            )
         d_pre, dh, dc = _cell_bwd(
-            dhf_ref[k], gf_ref[k], cf_ref[k], cpf_ref[k], wf_ref[:],
+            dhf_ref[k], gf_ref[k], cf_ref[k], cpf, wf_ref[:],
             dhf_st[:], dcf_st[:],
         )
         dxf_ref[k] = d_pre
         dhf_st[:], dcf_st[:] = dh, dc
 
+        # backward stream, rows front to back (real t ascending); its
+        # recurrence predecessor at real time t is t+1
+        kb = fold - 1 - k
+        if kb < fold - 1:
+            cpb = cb_ref[kb + 1].astype(jnp.float32)
+        else:  # row above the boundary; zero at real t == T-1
+            cpb = jnp.where(
+                i == last, 0.0, cpb_edge[0].astype(jnp.float32)
+            )
         d_pre, dh, dc = _cell_bwd(
-            dhb_ref[k], gb_ref[k], cb_ref[k], cpb_ref[k], wb_ref[:],
+            dhb_ref[kb], gb_ref[kb], cb_ref[kb], cpb, wb_ref[:],
             dhb_st[:], dcb_st[:],
         )
-        dxb_ref[k] = d_pre
+        dxb_ref[kb] = d_pre
         dhb_st[:], dcb_st[:] = dh, dc
 
 
 @functools.partial(jax.jit, static_argnames=())
-def _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, cp_f, cp_b, w_f, w_b):
+def _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b):
     t, b, four_h = g_f.shape
     h_dim = four_h // 4
     fold = _fold_for(t, b, h_dim)
     grid = t // fold
+    seq = lambda i: (i, 0, 0)
     rev = lambda i: (grid - 1 - i, 0, 0)
     full = lambda i: (0, 0)
-    blk_x = pl.BlockSpec((fold, b, four_h), rev, memory_space=pltpu.VMEM)
-    blk_h = pl.BlockSpec((fold, b, h_dim), rev, memory_space=pltpu.VMEM)
+    # edge rows, sliced from the saved c arrays themselves: for the
+    # forward stream's block j = grid-1-i the row just before it
+    # (j*fold - 1, clamped; kernel zeroes it at t==0), for the backward
+    # stream's block i the row just after it ((i+1)*fold, clamped)
+    edge_f = lambda i: (jnp.maximum((grid - 1 - i) * fold - 1, 0), 0, 0)
+    edge_b = lambda i: (jnp.minimum((i + 1) * fold, t - 1), 0, 0)
+    bxf = pl.BlockSpec((fold, b, four_h), rev, memory_space=pltpu.VMEM)
+    bxb = pl.BlockSpec((fold, b, four_h), seq, memory_space=pltpu.VMEM)
+    bhf = pl.BlockSpec((fold, b, h_dim), rev, memory_space=pltpu.VMEM)
+    bhb = pl.BlockSpec((fold, b, h_dim), seq, memory_space=pltpu.VMEM)
+    bef = pl.BlockSpec((1, b, h_dim), edge_f, memory_space=pltpu.VMEM)
+    beb = pl.BlockSpec((1, b, h_dim), edge_b, memory_space=pltpu.VMEM)
     blk_w = pl.BlockSpec((h_dim, four_h), full, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bd_bwd_kernel,
         grid=(grid,),
         in_specs=[
-            blk_h, blk_h, blk_x, blk_x, blk_h, blk_h, blk_h, blk_h,
+            bhf, bhb, bxf, bxb, bhf, bhb, bef, beb,
             blk_w, blk_w,
         ],
-        out_specs=[blk_x, blk_x],
+        out_specs=[bxf, bxb],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
             jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
@@ -648,53 +758,59 @@ def _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, cp_f, cp_b, w_f, w_b):
         ],
         interpret=FORCE_INTERPRET,
         compiler_params=_vmem_params(_bd_vmem_bytes(fold, b, h_dim)),
-    )(dh_f, dh_b, g_f, g_b, c_f, c_b, cp_f, cp_b, w_f, w_b)
+    )(dh_f, dh_b, g_f, g_b, c_f, c_b, c_f, c_b, w_f, w_b)
 
 
-@jax.custom_vjp
-def bilstm_sequence(xp_f: Array, xp_b: Array, w_f: Array, w_b: Array):
-    """Both BiLSTM directions in one grid.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def bilstm_sequence(
+    xp_f: Array, xp_b: Array, w_f: Array, w_b: Array, residual_dtype=None
+):
+    """Both BiLSTM directions in one grid, REAL time order throughout.
 
-    xp_f: [T, B, 4H] forward-stream projected inputs in real time order;
-    xp_b: [T, B, 4H] backward-stream projected inputs ALREADY
-    time-reversed (kernel time = its processing order). Returns
-    (h_f [T,B,H] in real time, h_b [T,B,H] in reversed time — the caller
-    flips it back). Undifferentiated calls run a lean kernel without
-    residual outputs.
+    xp_f, xp_b: [T, B, 4H] projected inputs for the forward / backward
+    direction, both in real time order (the kernel realizes the
+    backward direction through reversed block index maps — no flipped
+    copies in HBM). Returns (h_f [T,B,H], h_b [T,B,H]), both in real
+    time order, ready to concatenate. Undifferentiated calls run a lean
+    kernel without residual outputs; under jax.grad residuals are saved
+    in ``residual_dtype`` (None -> module default RESIDUAL_DTYPE).
     """
     return _bd_infer(xp_f, xp_b, w_f, w_b)
 
 
-def _bd_vjp_fwd(xp_f, xp_b, w_f, w_b):
+def _bd_vjp_fwd(xp_f, xp_b, w_f, w_b, residual_dtype):
     h_f, h_b, g_f, g_b, c_f, c_b = _bd_fwd(
-        xp_f, xp_b, w_f, w_b, residual_dtype=RESIDUAL_DTYPE
+        xp_f, xp_b, w_f, w_b,
+        residual_dtype=_resolve_residual(residual_dtype),
     )
     return (h_f, h_b), (g_f, g_b, c_f, c_b, h_f, h_b, w_f, w_b)
 
 
-def _shift(x):
-    return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
-
-
-def _bd_vjp_bwd(residuals, grads):
+def _bd_vjp_bwd(residual_dtype, residuals, grads):
     g_f, g_b, c_f, c_b, h_f, h_b, w_f, w_b = residuals
     dh_f, dh_b = grads
     dx_f, dx_b = _bd_bwd_call(
-        dh_f, dh_b, g_f, g_b, c_f, c_b, _shift(c_f), _shift(c_b),
-        w_f, w_b,
+        dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b
     )
     t, b, four_h = g_f.shape
     h_dim = four_h // 4
 
-    def dw(h, dx, w):
+    # dW_hh = sum_t h_prev[t]^T dxp[t]; with everything in real time
+    # order the predecessor is h[t-1] for the forward direction and
+    # h[t+1] for the backward one, so both contractions consume
+    # CONTIGUOUS slices (the old concat-a-zero-row _shift materialized
+    # a full [T, B, H] copy per direction per layer)
+    def dw(h_slice, dx_slice, w):
         return jax.lax.dot_general(
-            _shift(h).reshape(t * b, h_dim),
-            dx.reshape(t * b, four_h),
+            h_slice.reshape((t - 1) * b, h_dim),
+            dx_slice.reshape((t - 1) * b, four_h),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(w.dtype)  # cotangent dtype must match the primal
 
-    return dx_f, dx_b, dw(h_f, dx_f, w_f), dw(h_b, dx_b, w_b)
+    dw_f = dw(h_f[:-1], dx_f[1:], w_f)
+    dw_b = dw(h_b[1:], dx_b[:-1], w_b)
+    return dx_f, dx_b, dw_f, dw_b
 
 
 bilstm_sequence.defvjp(_bd_vjp_fwd, _bd_vjp_bwd)

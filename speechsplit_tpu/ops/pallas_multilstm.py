@@ -20,11 +20,15 @@ scratch. Numerics per stream are bit-identical to
 tests/test_pallas_multilstm.py checks values and gradients against
 per-stream ``bilstm_sequence`` in interpret mode.
 
-Layout contract (same as bilstm_sequence): per stream s,
-``xp_f[s]`` [T, B, 4H_s] projected forward inputs in real time order,
-``xp_b[s]`` [T, B, 4H_s] projected backward inputs ALREADY
-time-reversed; returns per stream (h_f [T,B,H_s] real time,
-h_b [T,B,H_s] reversed time).
+Layout contract (same as bilstm_sequence, round-3 convention): per
+stream s, ``xp_f[s]`` and ``xp_b[s]`` [T, B, 4H_s] projected inputs in
+REAL time order for both directions; returns per stream
+(h_f [T,B,H_s], h_b [T,B,H_s]), both in real time order. Backward
+directions are realized through reversed block index maps and
+back-to-front row processing — no flipped activation copies in HBM,
+and the grad kernel reads each cell's c_prev from neighbor rows /
+single-row edge blocks of the saved c instead of materialized shift
+copies (see pallas_lstm's merged-bidirectional kernels).
 """
 
 from __future__ import annotations
@@ -88,15 +92,19 @@ def _fwd_kernel(n: int, *refs):
     fold = xp[0].shape[0]
     for k in range(fold):
         # interleave all 2n directions at each folded timestep: their
-        # dependency chains are independent, which is the whole point
+        # dependency chains are independent, which is the whole point.
+        # Odd d = backward directions: their blocks arrive via reversed
+        # index maps, and rows are walked back->front so the recurrence
+        # runs T-1 -> 0 while HBM data stays in real time order.
         for d in range(2 * n):
+            kd = k if d % 2 == 0 else fold - 1 - k
             h_st, c_st = st[2 * d], st[2 * d + 1]
             h, c, gates = pallas_lstm._cell(
-                xp[d][k], w[d][:], h_st[:], c_st[:]
+                xp[d][kd], w[d][:], h_st[:], c_st[:]
             )
-            h_out[d][k] = h
-            g_out[d][k] = gates.astype(g_out[d].dtype)
-            c_out[d][k] = c.astype(c_out[d].dtype)
+            h_out[d][kd] = h
+            g_out[d][kd] = gates.astype(g_out[d].dtype)
+            c_out[d][kd] = c.astype(c_out[d].dtype)
             h_st[:], c_st[:] = h, c
 
 
@@ -116,27 +124,39 @@ def _infer_kernel(n: int, *refs):
     fold = xp[0].shape[0]
     for k in range(fold):
         for d in range(2 * n):
+            kd = k if d % 2 == 0 else fold - 1 - k
             h_st, c_st = st[2 * d], st[2 * d + 1]
             h, c, _ = pallas_lstm._cell(
-                xp[d][k], w[d][:], h_st[:], c_st[:]
+                xp[d][kd], w[d][:], h_st[:], c_st[:]
             )
-            h_out[d][k] = h
+            h_out[d][kd] = h
             h_st[:], c_st[:] = h, c
 
 
 def _bwd_kernel(n: int, *refs):
-    """refs: [dh_f0, dh_b0, ..., g_*, c_*, cp_*, w_*] (each group 2n)
-    then outputs [dx_f0, dx_b0, ...] then scratch [dh_st, dc_st] x 2n."""
+    """refs: [dh_f0, dh_b0, ..., g_*, c_*, ce_*, w_*] (each group 2n;
+    ce = single-row c edge blocks) then outputs [dx_f0, dx_b0, ...]
+    then scratch [dh_st, dc_st] x 2n.
+
+    Forward directions (even d) walk real time descending — reversed
+    block maps, rows back->front; backward directions walk ascending.
+    Each cell's c_prev (its predecessor in PROCESSING order: t-1 for
+    even d, t+1 for odd) reads the neighbor row of the streamed c
+    block, except the one row crossing the block boundary, which
+    streams as a [1, B, H] edge block; the final grid step's boundary
+    cell is the recurrence's first, whose c_prev is the zero state.
+    """
     dh = refs[: 2 * n]
     g = refs[2 * n : 4 * n]
     c = refs[4 * n : 6 * n]
-    cp = refs[6 * n : 8 * n]
+    ce = refs[6 * n : 8 * n]
     w = refs[8 * n : 10 * n]
     dx = refs[10 * n : 12 * n]
     st = refs[12 * n : 16 * n]
-    t = pl.program_id(0)
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1
 
-    @pl.when(t == 0)
+    @pl.when(i == 0)
     def _():
         for s in st:
             s[:] = jnp.zeros_like(s)
@@ -144,38 +164,83 @@ def _bwd_kernel(n: int, *refs):
     fold = g[0].shape[0]
     for k in reversed(range(fold)):
         for d in range(2 * n):
+            if d % 2 == 0:
+                kd = k  # descending (loop is reversed)
+                if kd > 0:
+                    cp = c[d][kd - 1].astype(jnp.float32)
+                else:
+                    cp = jnp.where(
+                        i == last, 0.0, ce[d][0].astype(jnp.float32)
+                    )
+            else:
+                kd = fold - 1 - k  # ascending
+                if kd < fold - 1:
+                    cp = c[d][kd + 1].astype(jnp.float32)
+                else:
+                    cp = jnp.where(
+                        i == last, 0.0, ce[d][0].astype(jnp.float32)
+                    )
             dh_st, dc_st = st[2 * d], st[2 * d + 1]
             d_pre, new_dh, new_dc = pallas_lstm._cell_bwd(
-                dh[d][k], g[d][k], c[d][k], cp[d][k], w[d][:],
+                dh[d][kd], g[d][kd], c[d][kd], cp, w[d][:],
                 dh_st[:], dc_st[:],
             )
-            dx[d][k] = d_pre
+            dx[d][kd] = d_pre
             dh_st[:], dc_st[:] = new_dh, new_dc
 
 
 # ------------------------------------------------------------- wrappers
 
 
-def _specs(t, b, four_hs, fold, rev=False):
+def _specs(t, b, four_hs, fold, grad=False):
+    """Per-direction block specs. Even directions (forward) ascend in
+    the fwd/infer kernels and descend in the grad kernel; odd
+    directions (backward) the opposite — all data stays in real time
+    order in HBM."""
     grid = t // fold
-    if rev:
-        seq = lambda i: (grid - 1 - i, 0, 0)
-    else:
-        seq = lambda i: (i, 0, 0)
+    seq = lambda i: (i, 0, 0)
+    rev = lambda i: (grid - 1 - i, 0, 0)
+
+    def walk(d):
+        ascending = (d % 2 == 0) != grad
+        return seq if ascending else rev
+
     full = lambda i: (0, 0)
     xs = [
-        pl.BlockSpec((fold, b, fh), seq, memory_space=pltpu.VMEM)
-        for fh in four_hs
+        pl.BlockSpec((fold, b, fh), walk(d), memory_space=pltpu.VMEM)
+        for d, fh in enumerate(four_hs)
     ]
     hs = [
-        pl.BlockSpec((fold, b, fh // 4), seq, memory_space=pltpu.VMEM)
-        for fh in four_hs
+        pl.BlockSpec(
+            (fold, b, fh // 4), walk(d), memory_space=pltpu.VMEM
+        )
+        for d, fh in enumerate(four_hs)
     ]
     ws = [
         pl.BlockSpec((fh // 4, fh), full, memory_space=pltpu.VMEM)
         for fh in four_hs
     ]
     return xs, hs, ws
+
+
+def _edge_specs(t, b, four_hs, fold):
+    """[1, B, H] c-edge blocks for the grad kernel, sliced from the
+    saved c arrays by shifted index maps (see _bwd_kernel)."""
+    grid = t // fold
+    out = []
+    for d, fh in enumerate(four_hs):
+        if d % 2 == 0:  # walks descending; edge = row before block
+            em = lambda i, f=fold, g=grid: (
+                jnp.maximum((g - 1 - i) * f - 1, 0), 0, 0
+            )
+        else:  # walks ascending; edge = row after block
+            em = lambda i, f=fold, tt=t: (
+                jnp.minimum((i + 1) * f, tt - 1), 0, 0
+            )
+        out.append(
+            pl.BlockSpec((1, b, fh // 4), em, memory_space=pltpu.VMEM)
+        )
+    return out
 
 
 def _scratch(b, four_hs):
@@ -189,10 +254,15 @@ def _scratch(b, four_hs):
 
 
 def _vmem(fold, b, four_hs):
+    # four_hs alternates (fwd, bwd) per stream and _bd_vmem_bytes
+    # already budgets a full bidirectional pair, so sum per STREAM
+    # (four_hs[::2]) — the same estimate _fold_for/fits use. Summing
+    # all 2n entries double-counted the bound and could request an
+    # unnecessary vmem_limit raise (~5% cost on surrounding ops).
     return pallas_lstm._vmem_params(
         sum(
             pallas_lstm._bd_vmem_bytes(fold, b, fh // 4)
-            for fh in four_hs
+            for fh in four_hs[::2]
         )
     )
 
@@ -260,11 +330,12 @@ def _bwd_call(n, *args):
     t, b, _ = g[0].shape
     four_hs = [x.shape[-1] for x in g]
     fold = _fold_for(t, b, [fh // 4 for fh in four_hs[::2]])
-    xs, hs, _ws = _specs(t, b, four_hs, fold, rev=True)
+    xs, hs, _ws = _specs(t, b, four_hs, fold, grad=True)
+    es = _edge_specs(t, b, four_hs, fold)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, n),
         grid=(t // fold,),
-        in_specs=hs + xs + hs + hs + _ws,
+        in_specs=hs + xs + hs + es + _ws,
         out_specs=xs,
         out_shape=[
             jax.ShapeDtypeStruct((t, b, fh), jnp.float32)
@@ -279,40 +350,54 @@ def _bwd_call(n, *args):
 # ------------------------------------------------------------ public op
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def multi_bilstm_sequence(n: int, *args) -> Tuple[Array, ...]:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def multi_bilstm_sequence(
+    n: int, residual_dtype, *args
+) -> Tuple[Array, ...]:
     """Run n independent BiLSTMs in one fused kernel.
 
     args: 4n arrays — [xp_f0, xp_b0, ..., xp_f{n-1}, xp_b{n-1},
-    w_f0, w_b0, ..., w_f{n-1}, w_b{n-1}] with xp_* [T, B, 4H_d] and
-    w_* [H_d, 4H_d] (backward streams pre-time-reversed, as in
-    ``pallas_lstm.bilstm_sequence``). Returns 2n arrays
-    (h_f0, h_b0, ...), the backward halves in reversed time.
+    w_f0, w_b0, ..., w_f{n-1}, w_b{n-1}] with xp_* [T, B, 4H_d] in
+    REAL time order (both directions) and w_* [H_d, 4H_d]. Returns 2n
+    arrays (h_f0, h_b0, ...), all in real time order, as in
+    ``pallas_lstm.bilstm_sequence``. ``residual_dtype`` (None ->
+    pallas_lstm.RESIDUAL_DTYPE) sets the saved-residual precision under
+    jax.grad, threaded explicitly from config.residual_dtype by the
+    model layer.
     """
     return tuple(_infer(n, *args))
 
 
-def _vjp_fwd(n, *args):
-    outs = _fwd(n, pallas_lstm.RESIDUAL_DTYPE, *args)
+def _vjp_fwd(n, residual_dtype, *args):
+    outs = _fwd(
+        n, pallas_lstm._resolve_residual(residual_dtype), *args
+    )
     h = tuple(outs[: 2 * n])
     g = outs[2 * n : 4 * n]
     c = outs[4 * n : 6 * n]
     return h, (args, h, tuple(g), tuple(c))
 
 
-def _vjp_bwd(n, residuals, dh):
+def _vjp_bwd(n, residual_dtype, residuals, dh):
     args, h, g, c = residuals
     w = args[2 * n : 4 * n]
-    cp = [pallas_lstm._shift(ci) for ci in c]
-    dx = _bwd_call(n, *dh, *g, *c, *cp, *w)
+    # c edges stream from the saved c arrays themselves (shifted index
+    # maps); no materialized _shift copies
+    dx = _bwd_call(n, *dh, *g, *c, *c, *w)
     dws = []
     for d in range(2 * n):
         t, b, four_h = g[d].shape
         h_dim = four_h // 4
+        # dW_hh over contiguous slices: the processing-order
+        # predecessor is t-1 for forward directions, t+1 for backward
+        if d % 2 == 0:
+            h_sl, dx_sl = h[d][:-1], dx[d][1:]
+        else:
+            h_sl, dx_sl = h[d][1:], dx[d][:-1]
         dws.append(
             jax.lax.dot_general(
-                pallas_lstm._shift(h[d]).reshape(t * b, h_dim),
-                dx[d].reshape(t * b, four_h),
+                h_sl.reshape((t - 1) * b, h_dim),
+                dx_sl.reshape((t - 1) * b, four_h),
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(w[d].dtype)

@@ -58,13 +58,15 @@ def create_train_state(
     key: jax.Array,
     model: str = "speechsplit",
 ) -> Tuple[Any, TrainState]:
-    """Initialize (model, TrainState) for 'speechsplit' or 'f0_converter'."""
-    from speechsplit_tpu.ops import pallas_lstm
+    """Initialize (model, TrainState) for 'speechsplit' or 'f0_converter'.
 
+    ``config.residual_dtype`` (the LSTM kernels' saved-residual
+    precision) is threaded through the model modules themselves —
+    models built from different configs coexist in one process without
+    affecting each other's gradient precision (ADVICE r2).
+    """
     t = config.max_len_pad
     dtype = resolve_dtype(config.compute_dtype)
-    # residual precision is a trace-time property of the LSTM kernels
-    pallas_lstm.RESIDUAL_DTYPE = resolve_dtype(config.residual_dtype)
     if model == "speechsplit":
         module = SpeechSplit(config, dtype=dtype)
         variables = module.init(

@@ -83,28 +83,42 @@ def test_resolve_dtype_rejects_unknown():
         resolve_dtype("float16")
 
 
-def test_residual_dtype_config_plumb():
-    """config.residual_dtype sets the kernels' residual precision at
-    state creation; "float32" restores the exact-gradients mode."""
-    from speechsplit_tpu.config import SpeechSplitConfig
+def test_residual_dtype_threaded_not_global(rng):
+    """config.residual_dtype is threaded through the model layers (a
+    per-module property, not a process global — ADVICE r2): an
+    f32-residual LSTM keeps exact scan-path gradients even while a
+    bf16-residual LSTM exists in the same process, and building models
+    from configs never mutates the kernel-module default."""
+    from speechsplit_tpu.models.layers import LSTM
     from speechsplit_tpu.ops import pallas_lstm
     from speechsplit_tpu.training.train_step import create_train_state
 
-    tiny = dict(
-        dim_enc=64, dim_enc_2=32, dim_enc_3=64,
-        dim_neck=4, dim_neck_2=1, dim_neck_3=8,
-        dim_dec_mel=64, dim_dec_f0=32,
-    )
-    prev = pallas_lstm.RESIDUAL_DTYPE
+    b, t, i, h = 8, 16, 8, 8
+    x = jnp.asarray(rng.randn(b, t, i).astype(np.float32))
+    lstm32 = LSTM(h, residual_dtype=jnp.float32)
+    lstm16 = LSTM(h, residual_dtype=jnp.bfloat16)
+    params = lstm32.init(jax.random.PRNGKey(0), x)
+
+    def loss(module, params, x):
+        return jnp.sum(jnp.square(module.apply(params, x)))
+
+    pallas_lstm.FORCE_INTERPRET = True
     try:
-        create_train_state(
-            SpeechSplitConfig(**tiny), jax.random.PRNGKey(0)
-        )
-        assert pallas_lstm.RESIDUAL_DTYPE == jnp.bfloat16  # default
-        create_train_state(
-            SpeechSplitConfig(**tiny, residual_dtype="float32"),
-            jax.random.PRNGKey(0),
-        )
-        assert pallas_lstm.RESIDUAL_DTYPE == jnp.float32
+        # touch the bf16-residual model first — it must not leak into
+        # the f32 model's trace
+        _ = jax.grad(lambda p: loss(lstm16, p, x))(params)
+        g32 = jax.grad(lambda p: loss(lstm32, p, x))(params)
     finally:
-        pallas_lstm.RESIDUAL_DTYPE = prev
+        pallas_lstm.FORCE_INTERPRET = False
+    g_scan = jax.grad(lambda p: loss(lstm32, p, x))(params)
+    for a, b_ in zip(jax.tree.leaves(g32), jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-6
+        )
+
+    # create_train_state must not touch the kernel-module default
+    prev = pallas_lstm.RESIDUAL_DTYPE
+    create_train_state(
+        CFG.replace(residual_dtype="float32"), jax.random.PRNGKey(0)
+    )
+    assert pallas_lstm.RESIDUAL_DTYPE is prev

@@ -43,7 +43,7 @@ def _make_args(rng):
 def test_forward_matches_per_stream(rng):
     args_x, args_w = _make_args(rng)
     outs = pallas_multilstm.multi_bilstm_sequence(
-        len(STREAMS), *args_x, *args_w
+        len(STREAMS), None, *args_x, *args_w
     )
     for s in range(len(STREAMS)):
         h_f, h_b = pallas_lstm.bilstm_sequence(
@@ -59,7 +59,7 @@ def test_grads_match_per_stream(rng):
     n = len(STREAMS)
 
     def loss_multi(xs, ws):
-        outs = pallas_multilstm.multi_bilstm_sequence(n, *xs, *ws)
+        outs = pallas_multilstm.multi_bilstm_sequence(n, None, *xs, *ws)
         return sum(jnp.sum(o * jnp.cos(o)) for o in outs)
 
     def loss_split(xs, ws):
