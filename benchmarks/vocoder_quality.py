@@ -33,6 +33,9 @@ def main(argv=None) -> None:
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--held_out_from", type=int, required=True)
     ap.add_argument("--gl_iters", type=int, default=50)
+    ap.add_argument("--refine_iters", type=int, default=2,
+                    help="mel-consistency projections for the "
+                    "neural_refined variant")
     ap.add_argument("--limit", type=int, default=12,
                     help="max held-out utterances to evaluate")
     args = ap.parse_args(argv)
@@ -49,11 +52,11 @@ def main(argv=None) -> None:
     from speechsplit_tpu.vocoder import GriffinLimVocoder
     from speechsplit_tpu.vocoder_neural import load_vocoder
 
-    paths = []
-    for root, _dirs, files in sorted(os.walk(args.wav_dir)):
-        for name in sorted(files):
-            if name.endswith(".wav"):
-                paths.append(os.path.join(root, name))
+    from speechsplit_tpu.data.prepare import list_wavs
+
+    # the SAME enumeration cli.train_vocoder consumes (shared helper),
+    # so --held_out_from N splits exactly where --max_files N stopped
+    paths = list_wavs(args.wav_dir)
     held = paths[args.held_out_from :][: args.limit]
     if not held:
         raise SystemExit("no held-out files — check --held_out_from")
@@ -72,6 +75,9 @@ def main(argv=None) -> None:
     vocoders = {
         "griffin_lim": GriffinLimVocoder(n_iter=args.gl_iters),
         "neural": load_vocoder(args.ckpt),
+        "neural_refined": load_vocoder(
+            args.ckpt, refine_iters=args.refine_iters
+        ),
     }
     result = {}
     for name, voc in vocoders.items():

@@ -54,6 +54,13 @@ def main(argv=None) -> None:
         help="neural vocoder checkpoint dir (cli.train_vocoder output); "
         "default synthesizes with the built-in Griffin-Lim",
     )
+    parser.add_argument(
+        "--vocoder_refine", type=int, default=2,
+        help="mel-consistency projection iterations on the neural "
+        "vocoder's predicted spectrum (0 = raw one-shot head; the "
+        "default keeps GL-grade mel fidelity at a fraction of GL's "
+        "iterations — BENCHMARKS.md 'Vocoder quality')",
+    )
     parser.add_argument("--hparams", default="", help="k=v,k=v overrides")
     parser.add_argument(
         "--compress_results", action="store_true",
@@ -100,7 +107,9 @@ def main(argv=None) -> None:
         if args.vocoder_ckpt:
             from speechsplit_tpu.vocoder_neural import load_vocoder
 
-            vocoder = load_vocoder(args.vocoder_ckpt)
+            vocoder = load_vocoder(
+                args.vocoder_ckpt, refine_iters=args.vocoder_refine
+            )
         else:
             from speechsplit_tpu.vocoder import GriffinLimVocoder
 

@@ -91,6 +91,9 @@ def build_handler(converter, default_out: str):
                         )
                     ),
                     synthesize=bool(req.get("synthesize", True)),
+                    compress_results=bool(
+                        req.get("compress_results", False)
+                    ),
                 )
                 stem = os.path.splitext(os.path.basename(src))[0]
                 payload = {}
@@ -135,6 +138,11 @@ def main(argv=None) -> None:
         "--vocoder_ckpt", default="",
         help="neural vocoder checkpoint dir; default = Griffin-Lim",
     )
+    parser.add_argument(
+        "--vocoder_refine", type=int, default=2,
+        help="mel-consistency projection iterations on the neural "
+        "vocoder's spectrum (0 = raw one-shot head)",
+    )
     parser.add_argument("--hparams", default="")
     args = parser.parse_args(argv)
 
@@ -151,6 +159,7 @@ def main(argv=None) -> None:
         vocoder = load_vocoder(
             args.vocoder_ckpt, hop=config.hop_length,
             sample_rate=config.sample_rate,
+            refine_iters=args.vocoder_refine,
         )
     converter = VoiceConverter.from_checkpoints(
         args.generator_ckpt, args.f0_ckpt, config=config, vocoder=vocoder

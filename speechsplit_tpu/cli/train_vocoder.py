@@ -18,20 +18,14 @@ import time
 
 
 def _load_corpus(wav_dir: str, limit: int | None = None):
-    import numpy as np
+    from speechsplit_tpu.data.prepare import list_wavs, read_wav
 
-    from speechsplit_tpu.data.prepare import read_wav
-
-    wavs = []
-    for root, _dirs, files in sorted(os.walk(wav_dir)):
-        for name in sorted(files):
-            if name.endswith(".wav"):
-                wavs.append(read_wav(os.path.join(root, name)))
-                if limit and len(wavs) >= limit:
-                    return wavs
-    if not wavs:
+    paths = list_wavs(wav_dir)  # shared enumeration (split safety)
+    if limit:
+        paths = paths[:limit]
+    if not paths:
         raise FileNotFoundError(f"no .wav files under {wav_dir}")
-    return wavs
+    return [read_wav(p) for p in paths]
 
 
 def main(argv=None) -> None:
@@ -44,8 +38,18 @@ def main(argv=None) -> None:
     ap.add_argument("--channels", type=int, default=256)
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--learning_rate", type=float, default=2e-4)
+    ap.add_argument(
+        "--cosine_decay", action=argparse.BooleanOptionalAction,
+        default=True,
+        help="warmup + cosine lr decay over --num_iters (default on)",
+    )
     ap.add_argument("--log_step", type=int, default=100)
     ap.add_argument("--save_step", type=int, default=5000)
+    ap.add_argument(
+        "--steps_per_dispatch", type=int, default=25,
+        help="optimizer steps scanned per device dispatch (the corpus "
+        "is device-resident; the host sends only a PRNG key)",
+    )
     ap.add_argument("--max_files", type=int, default=0,
                     help="cap corpus size (0 = all)")
     ap.add_argument("--seed", type=int, default=0)
@@ -63,7 +67,6 @@ def main(argv=None) -> None:
     from speechsplit_tpu.preprocess import extract_features
     from speechsplit_tpu.vocoder_neural import (
         VocoderTrainer,
-        make_crops,
         save_vocoder,
     )
 
@@ -104,6 +107,7 @@ def main(argv=None) -> None:
         n_mels=config.dim_freq,
         fmin=config.mel_fmin,
         fmax=config.mel_fmax,
+        total_steps=args.num_iters if args.cosine_decay else 0,
     )
     state = trainer.init(jax.random.PRNGKey(args.seed), args.crop_frames)
     n_params = sum(
@@ -111,28 +115,49 @@ def main(argv=None) -> None:
     )
     print(f"V: {n_params} parameters")
 
-    rng = np.random.RandomState(args.seed)
+    # pin the whole corpus in HBM once; crops are drawn in-graph
+    # (the host-side make_crops path is bandwidth-bound on slow
+    # host<->device links — measured 5-10 steps/s vs hundreds resident)
+    t_max = max(len(m) for m in mels)
+    n_max = max(len(w) for w in wavs)
+    mel_arr = np.zeros((len(mels), t_max, mels[0].shape[1]), np.float32)
+    wav_arr = np.zeros((len(wavs), n_max), np.float32)
+    frames = np.zeros((len(mels),), np.int32)
+    for i, (m, w) in enumerate(zip(mels, wavs)):
+        mel_arr[i, : len(m)] = m
+        wav_arr[i, : len(w)] = w
+        frames[i] = len(m)
+    k = max(1, args.steps_per_dispatch)
+    dispatch = trainer.make_resident_step(
+        jnp.asarray(wav_arr), jnp.asarray(mel_arr), jnp.asarray(frames),
+        args.crop_frames, args.batch_size, k,
+    )
+    print(
+        f"corpus resident: {wav_arr.nbytes / 1e6:.0f} MB wav + "
+        f"{mel_arr.nbytes / 1e6:.0f} MB mel in HBM, {k} steps/dispatch",
+        flush=True,
+    )
+
+    key = jax.random.PRNGKey(args.seed + 1)
     os.makedirs(args.save_dir, exist_ok=True)
     start = time.time()
-    for i in range(args.num_iters):
-        mb, wb = make_crops(
-            wavs, mels, args.batch_size, args.crop_frames,
-            config.hop_length, rng,
-        )
-        state, loss = trainer.step(state, jnp.asarray(mb), jnp.asarray(wb))
-        if (i + 1) % args.log_step == 0:
+    done = 0
+    while done < args.num_iters:
+        state, loss = dispatch(state, jax.random.fold_in(key, done))
+        done += k
+        if done % max(args.log_step, k) < k:
             loss_val = float(loss)
             if not np.isfinite(loss_val):
-                raise FloatingPointError(f"loss {loss_val} at {i + 1}")
-            rate = (i + 1) / (time.time() - start)
+                raise FloatingPointError(f"loss {loss_val} at {done}")
+            rate = done / (time.time() - start)
             print(
-                f"iter {i + 1}/{args.num_iters} loss {loss_val:.4f} "
+                f"iter {done}/{args.num_iters} loss {loss_val:.4f} "
                 f"({rate:.1f} steps/s)",
                 flush=True,
             )
-        if (i + 1) % args.save_step == 0 or (i + 1) == args.num_iters:
+        if done % args.save_step < k or done >= args.num_iters:
             path = save_vocoder(
-                os.path.join(args.save_dir, f"{i + 1}-V"), state.params
+                os.path.join(args.save_dir, f"{done}-V"), state.params
             )
             print(f"saved {path}", flush=True)
 

@@ -115,6 +115,50 @@ def griffin_lim(
     return _istft(proj, n_fft, hop)
 
 
+def mel_consistency_project(
+    spec0: Array,
+    mel_amp: Array,
+    basis: Array,
+    n_fft: int,
+    hop: int,
+    n_iter: int,
+    momentum: float = 0.99,
+) -> Array:
+    """Iterate the mel-consistency projection from a given complex spec.
+
+    Each iteration renders the spectrum to a waveform, re-analyzes it,
+    and multiplicatively re-scales the rebuilt magnitudes so their mel
+    projection matches ``mel_amp`` (phase is whatever the signal round
+    trip produced — a Griffin-Lim step and a mel-domain magnitude
+    projection in one). With momentum acceleration (Perraudin et al.
+    2013). spec0 [B, T, F] complex, mel_amp [B, T, M], basis [F, M];
+    returns the projected spectrum [B, T, F] complex.
+
+    Shared by :func:`mel_griffin_lim` (random-phase init, ~50 iters)
+    and the neural vocoder's refinement mode (model-predicted phase
+    init, 1-4 iters — vocoder_neural.NeuralVocoder(refine_iters=...)).
+    """
+    weight = jnp.maximum(jnp.sum(basis, axis=1), 1e-8)[None, None, :]
+    t_frames = mel_amp.shape[-2]
+
+    def project(spec):
+        x = _istft(spec, n_fft, hop)
+        rebuilt = _stft_complex(x, n_fft, hop)[..., :t_frames, :]
+        mag_r = jnp.maximum(jnp.abs(rebuilt), 1e-8)
+        mel_now = jnp.maximum(mag_r @ basis, 1e-8)  # [B, T, M]
+        ratio = mel_amp / mel_now
+        corr = (ratio @ basis.T) / weight  # weighted mean ratio per bin
+        return mag_r * corr * (rebuilt / mag_r)
+
+    def body(_, carry):
+        spec, prev = carry
+        proj = project(spec)
+        return proj + momentum * (proj - prev), proj
+
+    _, proj = jax.lax.fori_loop(0, n_iter, body, (spec0, spec0))
+    return proj
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_fft", "hop", "n_iter", "momentum")
 )
@@ -142,23 +186,9 @@ def mel_griffin_lim(
     mag0 = jnp.maximum(mel_amp @ inv_basis, 1e-8)  # [B, T, F]
     phase = jax.random.uniform(key, mag0.shape) * 2.0 * jnp.pi
     spec0 = mag0 * jnp.exp(1j * phase)
-    weight = jnp.maximum(jnp.sum(basis, axis=1), 1e-8)[None, None, :]
-
-    def project(spec):
-        x = _istft(spec, n_fft, hop)
-        rebuilt = _stft_complex(x, n_fft, hop)[..., : mag0.shape[-2], :]
-        mag_r = jnp.maximum(jnp.abs(rebuilt), 1e-8)
-        mel_now = jnp.maximum(mag_r @ basis, 1e-8)  # [B, T, M]
-        ratio = mel_amp / mel_now
-        corr = (ratio @ basis.T) / weight  # weighted mean ratio per bin
-        return mag_r * corr * (rebuilt / mag_r)
-
-    def body(_, carry):
-        spec, prev = carry
-        proj = project(spec)
-        return proj + momentum * (proj - prev), proj
-
-    _, proj = jax.lax.fori_loop(0, n_iter, body, (spec0, spec0))
+    proj = mel_consistency_project(
+        spec0, mel_amp, basis, n_fft, hop, n_iter, momentum
+    )
     return _istft(proj, n_fft, hop)
 
 

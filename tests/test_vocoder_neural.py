@@ -110,6 +110,44 @@ def test_checkpoint_roundtrip_infers_architecture(tmp_path, rng):
     np.testing.assert_allclose(voc(mel), direct(mel), atol=1e-6)
 
 
+def test_refine_pins_mel_consistency(rng):
+    """refine_iters > 0 projects the predicted spectrum onto the target
+    mel: even an UNTRAINED head's output must come out dramatically
+    more mel-consistent than its raw one-shot spectrum (the projection
+    supplies the magnitudes; the net only contributes phase)."""
+    from speechsplit_tpu.ops.stft import mel_spectrogram
+
+    trainer = VocoderTrainer(**TINY)
+    state = trainer.init(jax.random.PRNGKey(0), t_frames=16)
+    # a mel-ish smooth target in [0, 1] (the front-end's scale)
+    base = rng.rand(24, 80).astype(np.float32)
+    mel = np.clip(
+        0.35
+        + 0.25
+        * (
+            base
+            + np.roll(base, 1, axis=0)
+            + np.roll(base, 1, axis=1)
+        )
+        / 3.0,
+        0.0,
+        1.0,
+    ).astype(np.float32)
+
+    def err_db(wav):
+        back = np.asarray(mel_spectrogram(jnp.asarray(wav)[None]))[0]
+        n = min(len(mel), len(back)) - 2
+        a, b = mel[1:n], back[1:n]
+        off = (a - b).mean()
+        return float(np.abs(a - b - off).mean()) * 100
+
+    raw = NeuralVocoder(state.params, **TINY)
+    refined = NeuralVocoder(state.params, **TINY, refine_iters=3)
+    e_raw, e_ref = err_db(raw(mel)), err_db(refined(mel))
+    assert e_ref < e_raw * 0.5, (e_raw, e_ref)
+    assert e_ref < 3.0, e_ref  # mel-consistency actually enforced
+
+
 def test_load_missing_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="vocoder checkpoint"):
         load_vocoder(str(tmp_path / "nope"))
