@@ -23,6 +23,17 @@ def main(argv=None) -> None:
     parser.add_argument("--default_gender", default="M", choices="MF")
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--batches_per_dispatch", type=int, default=8,
+        help="wav batches staged into one device program (amortizes "
+        "the fixed per-dispatch host cost; BENCHMARKS.md)",
+    )
+    parser.add_argument(
+        "--compress_fetch", action="store_true",
+        help="fetch features from the device as bfloat16 (halves the "
+        "device->host transfer on slow links; .npy files stay float32, "
+        "~1e-3 rounding on the [0,1] mel scale)",
+    )
     args = parser.parse_args(argv)
 
     from speechsplit_tpu.utils import enable_compile_cache
@@ -51,6 +62,8 @@ def main(argv=None) -> None:
         spk2gen,
         batch_size=args.batch_size,
         seed=args.seed,
+        batches_per_dispatch=args.batches_per_dispatch,
+        compress_fetch=args.compress_fetch,
     )
     print(
         f"processed {len(done)} speakers in {time.time() - start:.1f}s"

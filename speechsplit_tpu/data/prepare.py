@@ -29,6 +29,7 @@ from scipy.io import wavfile
 from speechsplit_tpu.preprocess import (
     GENDER_F0_RANGE,
     extract_features,
+    extract_features_scan,
     frame_count,
     pad_batch,
 )
@@ -49,6 +50,22 @@ def read_wav(path: str, expect_rate: int = 16000) -> np.ndarray:
     return data.astype(np.float32)
 
 
+def list_wavs(wav_dir: str) -> List[str]:
+    """Deterministic recursive wav enumeration: sorted ``os.walk`` with
+    sorted filenames. Shared by ``cli.train_vocoder`` (corpus loading /
+    ``--max_files`` capping) and ``benchmarks.vocoder_quality``
+    (``--held_out_from`` splitting) so both always compute train/eval
+    splits over the SAME ordering (ADVICE r2: the walk was duplicated,
+    and any divergence would silently leak training files into eval).
+    """
+    paths = []
+    for root, _dirs, files in sorted(os.walk(wav_dir)):
+        for name in sorted(files):
+            if name.endswith(".wav"):
+                paths.append(os.path.join(root, name))
+    return paths
+
+
 def extract_dir(
     wav_dir: str,
     mel_dir: str,
@@ -57,21 +74,39 @@ def extract_dir(
     *,
     batch_size: int = 16,
     seed: int = 0,
+    batches_per_dispatch: int = 8,
+    compress_fetch: bool = False,
+    writer_threads: int = 4,
 ) -> List[str]:
     """Process every ``wav_dir/<speaker>/*.wav`` into feature trees.
 
-    Returns the sorted list of speakers processed. Utterances are batched
-    (padded to a common length per batch) so the device pipeline runs a
-    handful of large fused kernels instead of one launch per file.
+    Returns the sorted list of speakers processed. The reference walks
+    files serially on the host (make_spect_f0.py:48-74); here the whole
+    directory runs as a three-stage pipeline:
+
+    1. a reader thread decodes + pads wav batches ahead of the device;
+    2. batches are staged ``batches_per_dispatch`` at a time into ONE
+       device program (:func:`extract_features_scan` — amortizes the
+       fixed per-dispatch host cost), and the next super-batch is
+       submitted before the previous one's results are fetched, so
+       device compute overlaps the host-side fetch/write;
+    3. ``.npy`` writes happen on a small thread pool.
+
+    ``compress_fetch`` fetches results as bfloat16 (halves device->host
+    bytes; ~1e-3 rounding on the [0,1] mel scale, files still float32).
     """
+    import queue as queue_mod
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     speakers = sorted(
         d for d in os.listdir(wav_dir)
         if os.path.isdir(os.path.join(wav_dir, d))
     )
-    key = jax.random.PRNGKey(seed)
+    # flat job list: (speaker, [filenames]) batches in speaker order
+    jobs: List[tuple] = []
     for speaker in speakers:
-        gender = spk2gen[speaker]
-        lo, hi = GENDER_F0_RANGE[gender]
+        lo, hi = GENDER_F0_RANGE[spk2gen[speaker]]
         os.makedirs(os.path.join(mel_dir, speaker), exist_ok=True)
         os.makedirs(os.path.join(f0_dir, speaker), exist_ok=True)
         files = sorted(
@@ -79,34 +114,117 @@ def extract_dir(
             if f.endswith(".wav")
         )
         for start in range(0, len(files), batch_size):
-            chunk = files[start : start + batch_size]
+            jobs.append((speaker, files[start : start + batch_size], lo, hi))
+
+    # stage 1: reader thread (decode + pad ahead of the device)
+    ready: "queue_mod.Queue" = queue_mod.Queue(
+        maxsize=2 * max(1, batches_per_dispatch)
+    )
+
+    def read_jobs():
+        for job in jobs:
+            speaker, chunk, lo, hi = job
             wavs = [
-                read_wav(os.path.join(wav_dir, speaker, f)) for f in chunk
+                read_wav(os.path.join(wav_dir, speaker, f))
+                for f in chunk
             ]
-            key, sub = jax.random.split(key)
             batch, lengths = pad_batch(wavs)
-            mel, f0 = extract_features(
-                batch,
-                lengths,
-                np.full(len(chunk), lo, np.float32),
-                np.full(len(chunk), hi, np.float32),
-                sub,
-            )
-            mel = np.asarray(mel)
-            f0 = np.asarray(f0)
+            ready.put((job, batch, lengths))
+        ready.put(None)
+
+    reader = threading.Thread(target=read_jobs, daemon=True)
+    reader.start()
+
+    key = jax.random.PRNGKey(seed)
+    writers = ThreadPoolExecutor(max_workers=writer_threads)
+    write_futures: List = []
+
+    def write_group(group, mel_host, f0_host):
+        """mel_host [K, B, T, M] / f0_host [K, B, T] numpy."""
+        for k, (job, _batch, lengths) in enumerate(group):
+            speaker, chunk, _lo, _hi = job
             for i, fname in enumerate(chunk):
                 t = frame_count(int(lengths[i]))
                 stem = fname[:-4]
-                np.save(
-                    os.path.join(mel_dir, speaker, stem),
-                    mel[i, :t].astype(np.float32),
-                    allow_pickle=False,
+                mel_i = np.asarray(
+                    mel_host[k, i, :t], np.float32
                 )
-                np.save(
-                    os.path.join(f0_dir, speaker, stem),
-                    f0[i, :t].astype(np.float32),
-                    allow_pickle=False,
+                f0_i = np.asarray(f0_host[k, i, :t], np.float32)
+                write_futures.append(
+                    writers.submit(
+                        np.save,
+                        os.path.join(mel_dir, speaker, stem),
+                        mel_i,
+                        allow_pickle=False,
+                    )
                 )
+                write_futures.append(
+                    writers.submit(
+                        np.save,
+                        os.path.join(f0_dir, speaker, stem),
+                        f0_i,
+                        allow_pickle=False,
+                    )
+                )
+
+    def dispatch(group):
+        """Submit one device program for a group of same-shape batches."""
+        nonlocal key
+        key, sub = jax.random.split(key)
+        wavs = np.stack([b for _j, b, _l in group])
+        lengths = np.stack([l for _j, _b, l in group])
+        lo = np.stack(
+            [np.full(len(j[1]), j[2], np.float32) for j, _b, _l in group]
+        )
+        hi = np.stack(
+            [np.full(len(j[1]), j[3], np.float32) for j, _b, _l in group]
+        )
+        mel, f0 = extract_features_scan(
+            wavs, lengths, lo, hi, sub, compress=compress_fetch
+        )
+        return mel, f0
+
+    # stage 2: group same-shape batches, keep one dispatch in flight
+    in_flight: List[tuple] = []  # [(group, mel_dev, f0_dev)]
+
+    def drain_one():
+        group, mel_dev, f0_dev = in_flight.pop(0)
+        mel_host = np.asarray(mel_dev)
+        f0_host = np.asarray(f0_dev)
+        if compress_fetch:
+            mel_host = mel_host.astype(np.float32)
+            f0_host = f0_host.astype(np.float32)
+        write_group(group, mel_host, f0_host)
+
+    pending: List[tuple] = []
+
+    def flush_pending():
+        if not pending:
+            return
+        mel_f0 = dispatch(pending)
+        in_flight.append((list(pending), *mel_f0))
+        pending.clear()
+        while len(in_flight) > 1:  # fetch older while newest computes
+            drain_one()
+
+    while True:
+        item = ready.get()
+        if item is None:
+            break
+        _job, batch, _lengths = item
+        if pending and (
+            pending[0][1].shape != batch.shape
+            or len(pending) >= batches_per_dispatch
+        ):
+            flush_pending()
+        pending.append(item)
+    flush_pending()
+    while in_flight:
+        drain_one()
+    reader.join()
+    for fut in write_futures:
+        fut.result()  # surface any write error
+    writers.shutdown()
     return speakers
 
 

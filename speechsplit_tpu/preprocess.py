@@ -53,14 +53,7 @@ def _stft_bin_gain(
     return (h * np.conj(h)).real.astype(np.float32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "sample_rate", "n_fft", "hop", "n_mels", "order",
-        "fmin", "fmax", "cutoff", "dither", "gain", "highpass_mode",
-    ),
-)
-def extract_features(
+def _extract_core(
     wavs: Array,
     lengths: Array,
     f0_lo: Array,
@@ -159,6 +152,76 @@ def extract_features(
     f0_norm = jnp.where(voiced, norm, UNVOICED_LOG_F0)
 
     return mel, f0_norm
+
+
+extract_features = jax.jit(
+    _extract_core,
+    static_argnames=(
+        "sample_rate", "n_fft", "hop", "n_mels", "order",
+        "fmin", "fmax", "cutoff", "dither", "gain", "highpass_mode",
+    ),
+)
+extract_features.__doc__ = _extract_core.__doc__
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sample_rate", "n_fft", "hop", "n_mels", "order",
+        "fmin", "fmax", "cutoff", "dither", "gain", "highpass_mode",
+        "compress",
+    ),
+)
+def extract_features_scan(
+    wavs: Array,
+    lengths: Array,
+    f0_lo: Array,
+    f0_hi: Array,
+    dither_key: Array,
+    *,
+    compress: bool = False,
+    **static,
+) -> Tuple[Array, Array]:
+    """K batches of feature extraction in ONE device program.
+
+    Like :func:`extract_features` but over a staged super-batch
+    ``wavs [K, B, N]`` / ``lengths, f0_lo, f0_hi [K, B]`` — a
+    ``lax.scan`` advances the K batches inside one XLA program, so a
+    dispatch's fixed host cost (~30+ ms through this environment's
+    device tunnel; BENCHMARKS.md "Device profile") is paid once per K
+    batches instead of once per batch, and the scan hoists
+    loop-invariant setup. Per-batch numerics are IDENTICAL to
+    extract_features with ``jax.random.fold_in(dither_key, k)`` as the
+    per-batch key (pinned by tests/test_preprocess_modes.py).
+
+    ``compress=True`` returns bfloat16 mel/f0 (halves the result-fetch
+    bytes on slow host links; ~1e-3 rounding on the [0,1] mel scale —
+    the same trade as the conversion CLI's --compress_results).
+
+    Returns (mel [K, B, T, M], f0 [K, B, T]).
+    """
+
+    def body(_, xs):
+        wav_k, len_k, lo_k, hi_k, key_k = xs
+        mel, f0 = _extract_core(
+            wav_k, len_k, lo_k, hi_k, key_k, **static
+        )
+        if compress:
+            # keep the unvoiced sentinel exactly representable
+            f0 = jnp.where(
+                f0 < -1e9, jnp.bfloat16(-1e10), f0.astype(jnp.bfloat16)
+            )
+            mel = mel.astype(jnp.bfloat16)
+        return 0.0, (mel, f0)
+
+    k = wavs.shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(dither_key, i))(
+        jnp.arange(k)
+    )
+    _, (mel, f0) = jax.lax.scan(
+        body, 0.0, (wavs, lengths, f0_lo, f0_hi, keys)
+    )
+    return mel, f0
 
 
 def frame_count(length: int, hop: int = 256) -> int:

@@ -72,3 +72,59 @@ def test_tracker_rumble_immune(rng):
         assert voiced.mean() > 0.9
         f_est = np.exp(interior[voiced])
         assert abs(np.median(f_est) - 150.0) < 5.0
+
+
+def test_scan_matches_per_batch(rng):
+    """extract_features_scan must reproduce extract_features exactly
+    per staged batch (same math, per-batch keys = fold_in(key, k)),
+    and its bf16 compress mode must keep the unvoiced sentinel and
+    ~1e-3 mel accuracy."""
+    from speechsplit_tpu.preprocess import extract_features_scan
+
+    n = FS
+    k_batches, b = 3, 2
+    wavs = np.stack(
+        [
+            np.stack(
+                [
+                    _speechlike(rng, n, 110.0 + 40 * (k + i))
+                    for i in range(b)
+                ]
+            )
+            for k in range(k_batches)
+        ]
+    )
+    lengths = np.full((k_batches, b), n, np.int32)
+    lo = np.full((k_batches, b), 50.0, np.float32)
+    hi = np.full((k_batches, b), 600.0, np.float32)
+    key = jax.random.PRNGKey(7)
+
+    mel_s, f0_s = extract_features_scan(
+        jnp.asarray(wavs), jnp.asarray(lengths), jnp.asarray(lo),
+        jnp.asarray(hi), key,
+    )
+    for k in range(k_batches):
+        mel_k, f0_k = extract_features(
+            jnp.asarray(wavs[k]), jnp.asarray(lengths[k]),
+            jnp.asarray(lo[k]), jnp.asarray(hi[k]),
+            jax.random.fold_in(key, k),
+        )
+        np.testing.assert_allclose(
+            np.asarray(mel_s[k]), np.asarray(mel_k), rtol=0, atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f0_s[k]), np.asarray(f0_k)
+        )
+
+    mel_c, f0_c = extract_features_scan(
+        jnp.asarray(wavs), jnp.asarray(lengths), jnp.asarray(lo),
+        jnp.asarray(hi), key, compress=True,
+    )
+    assert mel_c.dtype == jnp.bfloat16
+    v_full = np.asarray(f0_s) > -1e9
+    v_comp = np.asarray(f0_c).astype(np.float32) > -1e9
+    np.testing.assert_array_equal(v_full, v_comp)
+    err = np.abs(
+        np.asarray(mel_c).astype(np.float32) - np.asarray(mel_s)
+    ).max()
+    assert err < 4e-3, err
