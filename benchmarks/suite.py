@@ -76,37 +76,95 @@ def bench_train(n_meas: int = 300) -> float:
     return n_meas / elapsed
 
 
-def bench_preprocess(n_meas: int = 30) -> float:
-    """mel-frames/s through the fused wav->features pipeline."""
+def bench_preprocess(n_meas: int = 30, k: int = 8) -> float:
+    """mel-frames/s through the fused wav->features pipeline, staged
+    ``k`` batches per dispatch (extract_features_scan — one program
+    amortizes the fixed per-dispatch host cost over k batches, the same
+    staging data.prepare.extract_dir ships). Dispatches are
+    value-chained (each consumes a scalar of the previous output) and
+    fenced once at the end, per the tunnel methodology above."""
     jax = setup_jax()
     import jax.numpy as jnp
 
-    from speechsplit_tpu.preprocess import extract_features
+    from speechsplit_tpu.preprocess import extract_features_scan
 
     rng = np.random.RandomState(0)
     b, n = 16, 4 * 16000  # sixteen 4-second utterances per batch
-    wavs = jnp.asarray(rng.randn(b, n).astype(np.float32) * 0.3)
-    lengths = jnp.full((b,), n, jnp.int32)
-    lo = jnp.full((b,), 50.0, jnp.float32)
-    hi = jnp.full((b,), 600.0, jnp.float32)
+    wavs = jnp.asarray(rng.randn(k, b, n).astype(np.float32) * 0.3)
+    lengths = jnp.full((k, b), n, jnp.int32)
+    lo = jnp.full((k, b), 50.0, jnp.float32)
+    hi = jnp.full((k, b), 600.0, jnp.float32)
     key = jax.random.PRNGKey(0)
 
-    mel, f0 = extract_features(wavs, lengths, lo, hi, key)
-    _ = float(mel[0, 0, 0])
-    frames_per_call = b * (n // 256 + 1)
+    mel, f0 = extract_features_scan(wavs, lengths, lo, hi, key)
+    _ = float(mel[0, 0, 0, 0])
+    frames_per_call = k * b * (n // 256 + 1)
 
     start = time.perf_counter()
     chained = wavs
     for i in range(n_meas):
-        mel, f0 = extract_features(chained, lengths, lo, hi, key)
+        mel, f0 = extract_features_scan(chained, lengths, lo, hi, key)
         # fold a scalar of the output back into the input to chain
-        chained = wavs + mel[0, 0, 0] * 1e-12
-    _ = float(mel[0, 0, 0])
+        chained = wavs + mel[0, 0, 0, 0] * 1e-12
+    _ = float(mel[0, 0, 0, 0])
     elapsed = time.perf_counter() - start
     rate = n_meas * frames_per_call / elapsed
     log(
-        f"preprocess: {n_meas} batches x {frames_per_call} frames "
-        f"in {elapsed:.3f}s"
+        f"preprocess: {n_meas} dispatches x {frames_per_call} frames "
+        f"(k={k}) in {elapsed:.3f}s"
+    )
+    return rate
+
+
+def bench_preprocess_with_fetch(n_meas: int = 20, k: int = 8) -> float:
+    """Like bench_preprocess but every dispatch's FULL feature results
+    cross back to the host (bf16, as extract_dir --compress_fetch
+    fetches them), with one dispatch kept in flight so fetch overlaps
+    compute — the honest wav-array-in, numpy-features-out rate."""
+    jax = setup_jax()
+    import jax.numpy as jnp
+
+    from speechsplit_tpu.preprocess import extract_features_scan
+
+    rng = np.random.RandomState(0)
+    b, n = 16, 4 * 16000
+    wavs = jnp.asarray(rng.randn(k, b, n).astype(np.float32) * 0.3)
+    lengths = jnp.full((k, b), n, jnp.int32)
+    lo = jnp.full((k, b), 50.0, jnp.float32)
+    hi = jnp.full((k, b), 600.0, jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    def submit(i):
+        mel, f0 = extract_features_scan(
+            wavs, lengths, lo, hi, jax.random.fold_in(key, i),
+            compress=True,
+        )
+        try:
+            mel.copy_to_host_async()
+            f0.copy_to_host_async()
+        except AttributeError:
+            pass
+        return mel, f0
+
+    mel, f0 = submit(0)
+    _ = (np.asarray(mel), np.asarray(f0))
+    frames_per_call = k * b * (n // 256 + 1)
+
+    start = time.perf_counter()
+    in_flight = [submit(0)]
+    total = 0.0
+    for i in range(1, n_meas + 1):
+        if i <= n_meas - 1:
+            in_flight.append(submit(i))
+        mel, f0 = in_flight.pop(0)
+        total += float(np.asarray(mel, np.float32)[0, 0, 0, 0])
+        _ = np.asarray(f0)
+    elapsed = time.perf_counter() - start
+    assert np.isfinite(total)
+    rate = n_meas * frames_per_call / elapsed
+    log(
+        f"preprocess+fetch: {n_meas} dispatches x {frames_per_call} "
+        f"frames in {elapsed:.3f}s"
     )
     return rate
 
@@ -205,11 +263,21 @@ def bench_reference_preprocess_cpu(n_files: int = 8) -> float | None:
     return rate
 
 
-def bench_conversion(n_meas: int = 30, n_pairs: int = 8) -> float:
-    """utterances/s through the 7-condition batched converter."""
+def bench_conversion(
+    n_meas: int = 30, n_pairs: int = 8, compress: bool = False
+) -> float:
+    """utterances/s through the 7-condition batched converter, sustained
+    via the pipelined ``convert_stream`` driver (each batch's host fetch
+    overlaps the next batches' device compute; every yielded result is
+    a fully materialized numpy grid, so the loop is fenced by
+    construction)."""
     jax = setup_jax()
     from speechsplit_tpu.config import SpeechSplitConfig
-    from speechsplit_tpu.convert import convert_batched, prepare_utterance
+    from speechsplit_tpu.convert import (
+        convert_batched,
+        convert_stream,
+        prepare_utterance,
+    )
     from speechsplit_tpu.training.train_step import create_train_state
 
     config = SpeechSplitConfig()
@@ -230,19 +298,25 @@ def bench_conversion(n_meas: int = 30, n_pairs: int = 8) -> float:
         (utt(f"s{i}", "u", 150), utt(f"t{i}", "v", 150))
         for i in range(n_pairs)
     ]
-    out = convert_batched(
-        g_module, g_state.params, p_module, p_state.params, pairs
+    # warm (compile both the grid program and the trim/compress tail)
+    _ = convert_batched(
+        g_module, g_state.params, p_module, p_state.params, pairs,
+        compress_fetch=compress,
     )
     start = time.perf_counter()
-    for _ in range(n_meas):
-        out = convert_batched(
-            g_module, g_state.params, p_module, p_state.params, pairs
-        )
+    n_out = 0
+    for results in convert_stream(
+        g_module, g_state.params, p_module, p_state.params,
+        (pairs for _ in range(n_meas)), compress_fetch=compress,
+    ):
+        n_out += sum(len(r) for r in results)
     elapsed = time.perf_counter() - start
-    # convert_batched materializes outputs with np.asarray (host fetch),
-    # so each iteration is already fenced.
     utts = n_meas * n_pairs * 7
-    log(f"conversion: {utts} conversions in {elapsed:.3f}s")
+    assert n_out == utts
+    log(
+        f"conversion{' (bf16 fetch)' if compress else ''}: "
+        f"{utts} conversions in {elapsed:.3f}s"
+    )
     return utts / elapsed
 
 
@@ -307,10 +381,16 @@ def run_all() -> dict:
     results = {
         "train_steps_per_sec": round(bench_train(), 3),
         "preprocess_mel_frames_per_sec": round(bench_preprocess(), 1),
+        "preprocess_mel_frames_per_sec_with_fetch": round(
+            bench_preprocess_with_fetch(), 1
+        ),
         "preprocess_mel_frames_per_sec_device_only": round(
             bench_preprocess_device(), 1
         ),
         "conversion_utterances_per_sec": round(bench_conversion(), 2),
+        "conversion_utterances_per_sec_compressed": round(
+            bench_conversion(compress=True), 2
+        ),
         "conversion_utterances_per_sec_device_only": round(
             bench_conversion_device(), 1
         ),

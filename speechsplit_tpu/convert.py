@@ -124,32 +124,18 @@ def convert(
     return results
 
 
-def convert_batched(
+def _convert_submit(
     g_module: SpeechSplit,
     g_params,
     p_module: F0Converter,
     p_params,
     pairs: Sequence[Tuple[Utterance, Utterance]],
-    conditions: Sequence[str] = CONDITIONS,
-    compress_fetch: bool = False,
-) -> List[List[Tuple[str, np.ndarray]]]:
-    """Throughput-oriented conversion: all conditions of all pairs in
-    single batched device calls.
-
-    Where :func:`convert` runs one [1, T, .] forward per condition, this
-    stacks every (pair, condition) combination into one
-    ``[P * C, T, .]`` batch — one F0-converter call for the P pairs and
-    one generator call for the whole grid — keeping the MXU fed. Returns
-    per-pair lists matching :func:`convert`'s output format.
-
-    ``compress_fetch=True`` casts the result grid to bfloat16 on device
-    before the host fetch (results are upcast back to float32). On a
-    slow host<->device link the fetch dominates end-to-end conversion
-    throughput and this halves it; cost is bf16 rounding of the output
-    mel — ~2e-3 absolute on the [0,1] normalized-dB scale (~0.2 dB),
-    well under the built-in vocoder's ~0.6-1.1 dB resynthesis error.
-    """
-    p_count = len(pairs)
+    conditions: Sequence[str],
+    compress_fetch: bool,
+):
+    """Dispatch the (pair x condition) grid; returns the in-flight
+    device array (async — nothing is fetched here) plus the metadata
+    needed to format results later."""
     mel_src = jnp.concatenate([s.mel for s, _ in pairs], axis=0)
     mel_trg = jnp.concatenate([t.mel for _, t in pairs], axis=0)
     f0_src = jnp.concatenate([s.f0_onehot for s, _ in pairs], axis=0)
@@ -176,11 +162,32 @@ def convert_batched(
         jnp.concatenate(orgs, axis=0),
         jnp.concatenate(embs, axis=0),
     )  # [C * P, T, 80]
-    if compress_fetch:
-        out = np.asarray(out.astype(jnp.bfloat16)).astype(np.float32)
-    else:
-        out = np.asarray(out)
 
+    # fetch-byte reduction on device: trim the time axis to the longest
+    # frame count any (pair, condition) actually keeps, and optionally
+    # round to bfloat16 (~0.2 dB, far below vocoder error)
+    cut_max = max(
+        (t.length if "R" in c else s.length)
+        for c in conditions
+        for (s, t) in pairs
+    )
+    out = out[:, :cut_max, :]
+    if compress_fetch:
+        out = out.astype(jnp.bfloat16)
+    try:  # start the device->host copy early (overlaps later compute)
+        out.copy_to_host_async()
+    except AttributeError:
+        pass
+    return out, (list(pairs), tuple(conditions))
+
+
+def _convert_fetch(out, meta) -> List[List[Tuple[str, np.ndarray]]]:
+    """Block on one in-flight grid and format per-pair results."""
+    pairs, conditions = meta
+    p_count = len(pairs)
+    out = np.asarray(out)
+    if out.dtype != np.float32:
+        out = out.astype(np.float32)
     results: List[List[Tuple[str, np.ndarray]]] = [[] for _ in pairs]
     for ci, condition in enumerate(conditions):
         for pi, (src, trg) in enumerate(pairs):
@@ -188,6 +195,78 @@ def convert_batched(
             name = f"{src.name}_{trg.name}_{src.uid}_{condition}"
             results[pi].append((name, out[ci * p_count + pi, :cut, :]))
     return results
+
+
+def convert_batched(
+    g_module: SpeechSplit,
+    g_params,
+    p_module: F0Converter,
+    p_params,
+    pairs: Sequence[Tuple[Utterance, Utterance]],
+    conditions: Sequence[str] = CONDITIONS,
+    compress_fetch: bool = False,
+) -> List[List[Tuple[str, np.ndarray]]]:
+    """Throughput-oriented conversion: all conditions of all pairs in
+    single batched device calls.
+
+    Where :func:`convert` runs one [1, T, .] forward per condition, this
+    stacks every (pair, condition) combination into one
+    ``[P * C, T, .]`` batch — one F0-converter call for the P pairs and
+    one generator call for the whole grid — keeping the MXU fed. Returns
+    per-pair lists matching :func:`convert`'s output format.
+
+    ``compress_fetch=True`` casts the result grid to bfloat16 on device
+    before the host fetch (results are upcast back to float32). On a
+    slow host<->device link the fetch dominates end-to-end conversion
+    throughput and this halves it; cost is bf16 rounding of the output
+    mel — ~2e-3 absolute on the [0,1] normalized-dB scale (~0.2 dB),
+    well under the built-in vocoder's ~0.6-1.1 dB resynthesis error.
+
+    For sustained many-batch conversion use :func:`convert_stream`,
+    which overlaps each batch's host fetch with the next batch's device
+    compute.
+    """
+    out, meta = _convert_submit(
+        g_module, g_params, p_module, p_params, pairs, conditions,
+        compress_fetch,
+    )
+    return _convert_fetch(out, meta)
+
+
+def convert_stream(
+    g_module: SpeechSplit,
+    g_params,
+    p_module: F0Converter,
+    p_params,
+    pair_batches,
+    conditions: Sequence[str] = CONDITIONS,
+    compress_fetch: bool = False,
+    depth: int = 2,
+):
+    """Pipelined batched conversion over an iterable of pair batches.
+
+    Yields one :func:`convert_batched`-format result list per incoming
+    batch, but keeps up to ``depth`` batches' device compute in flight
+    while older batches' results cross the host link — on a
+    fetch-bound link (this environment's tunnel moves a [56, T, 80]
+    grid slower than the chip computes it, BENCHMARKS.md) the yield
+    rate approaches max(compute, fetch) instead of their sum. The
+    device->host copy of each grid is started at submit time
+    (``copy_to_host_async``), so it proceeds during the successors'
+    compute.
+    """
+    in_flight: List[tuple] = []
+    for pairs in pair_batches:
+        in_flight.append(
+            _convert_submit(
+                g_module, g_params, p_module, p_params, pairs,
+                conditions, compress_fetch,
+            )
+        )
+        if len(in_flight) > depth:
+            yield _convert_fetch(*in_flight.pop(0))
+    while in_flight:
+        yield _convert_fetch(*in_flight.pop(0))
 
 
 def convert_long(

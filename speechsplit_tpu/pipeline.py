@@ -159,11 +159,13 @@ class VoiceConverter:
         src: Utterance,
         trg: Utterance,
         conditions: Sequence[str] = CONDITIONS,
+        compress_results: bool = False,
     ) -> List[Tuple[str, np.ndarray]]:
         return convert_batched(
             self.g_module, self.g_params,
             self.p_module, self.p_params,
             [(src, trg)], conditions,
+            compress_fetch=compress_results,
         )[0]
 
     def convert_wav_files(
@@ -177,13 +179,16 @@ class VoiceConverter:
         trg_emb: Optional[np.ndarray] = None,
         conditions: Sequence[str] = CONDITIONS,
         synthesize: bool = True,
+        compress_results: bool = False,
     ) -> Dict[str, Dict[str, np.ndarray]]:
         """Full wav->wav conversion between two utterance files.
 
         Utterances longer than the model geometry (192 frames, ~3 s) are
         converted in overlapping windows (``convert.convert_long``).
         Returns {condition: {"mel": [T,80], "wav": [N]}} (wav only when
-        ``synthesize``).
+        ``synthesize``). ``compress_results`` fetches result mels from
+        the device as bfloat16 (halves the transfer on slow links,
+        ~0.2 dB rounding — the convert CLI's --compress_results).
         """
         from speechsplit_tpu.convert import convert_long
         from speechsplit_tpu.data.prepare import read_wav
@@ -212,7 +217,9 @@ class VoiceConverter:
                 cfg, t_mel, t_f0, trg_emb,
                 name=os.path.basename(trg_path), uid="0",
             )
-            results = self.convert_utterances(src, trg, conditions)
+            results = self.convert_utterances(
+                src, trg, conditions, compress_results=compress_results
+            )
             named = [(n.split("_")[-1], mel) for n, mel in results]
         else:
             named = [

@@ -67,3 +67,34 @@ def test_compress_fetch_matches_within_bf16(rng):
         assert a.shape == b.shape
         assert b.dtype == np.float32
         np.testing.assert_allclose(a, b, atol=4e-3)
+
+
+@pytest.mark.slow
+def test_stream_matches_batched(rng):
+    """convert_stream must yield exactly convert_batched's results for
+    every incoming batch, in order, regardless of pipeline depth."""
+    from speechsplit_tpu.convert import convert_stream
+
+    g_module, g_state = create_train_state(CFG, jax.random.PRNGKey(0))
+    p_module, p_state = create_train_state(
+        CFG, jax.random.PRNGKey(1), "f0_converter"
+    )
+    batches = [
+        [(_utt(rng, f"a{k}", "u0", 150), _utt(rng, f"b{k}", "v0", 120))]
+        for k in range(3)
+    ]
+    streamed = list(
+        convert_stream(
+            g_module, g_state.params, p_module, p_state.params,
+            iter(batches), depth=2,
+        )
+    )
+    assert len(streamed) == len(batches)
+    for pairs, got in zip(batches, streamed):
+        want = convert_batched(
+            g_module, g_state.params, p_module, p_state.params, pairs
+        )
+        for wp, gp in zip(want, got):
+            for (wn, wm), (gn, gm) in zip(wp, gp):
+                assert wn == gn
+                np.testing.assert_array_equal(wm, gm)
