@@ -36,8 +36,12 @@ def main(argv=None) -> None:
     ap.add_argument("--refine_iters", type=int, default=2,
                     help="mel-consistency projections for the "
                     "neural_refined variant")
+    ap.add_argument("--refine_momentum", type=float, default=0.9)
     ap.add_argument("--limit", type=int, default=12,
                     help="max held-out utterances to evaluate")
+    ap.add_argument("--only", default="",
+                    help="comma-separated subset of vocoders to run "
+                    "(griffin_lim,neural,neural_refined)")
     args = ap.parse_args(argv)
 
     from speechsplit_tpu.utils import enable_compile_cache
@@ -73,12 +77,17 @@ def main(argv=None) -> None:
         return float(np.abs(a - b - offset).mean()) * 100
 
     vocoders = {
-        "griffin_lim": GriffinLimVocoder(n_iter=args.gl_iters),
-        "neural": load_vocoder(args.ckpt),
-        "neural_refined": load_vocoder(
-            args.ckpt, refine_iters=args.refine_iters
+        "griffin_lim": lambda: GriffinLimVocoder(n_iter=args.gl_iters),
+        "neural": lambda: load_vocoder(args.ckpt),
+        "neural_refined": lambda: load_vocoder(
+            args.ckpt, refine_iters=args.refine_iters,
+            refine_momentum=args.refine_momentum,
         ),
     }
+    if args.only:
+        keep = set(args.only.split(","))
+        vocoders = {k: v for k, v in vocoders.items() if k in keep}
+    vocoders = {k: v() for k, v in vocoders.items()}
     result = {}
     for name, voc in vocoders.items():
         mels = [mel_of(read_wav(p)) for p in held]

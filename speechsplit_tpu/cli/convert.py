@@ -55,7 +55,7 @@ def main(argv=None) -> None:
         "default synthesizes with the built-in Griffin-Lim",
     )
     parser.add_argument(
-        "--vocoder_refine", type=int, default=2,
+        "--vocoder_refine", type=int, default=8,
         help="mel-consistency projection iterations on the neural "
         "vocoder's predicted spectrum (0 = raw one-shot head; the "
         "default keeps GL-grade mel fidelity at a fraction of GL's "

@@ -139,7 +139,7 @@ def main(argv=None) -> None:
         help="neural vocoder checkpoint dir; default = Griffin-Lim",
     )
     parser.add_argument(
-        "--vocoder_refine", type=int, default=2,
+        "--vocoder_refine", type=int, default=8,
         help="mel-consistency projection iterations on the neural "
         "vocoder's spectrum (0 = raw one-shot head)",
     )

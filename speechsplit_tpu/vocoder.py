@@ -228,10 +228,15 @@ class GriffinLimVocoder:
         self, mels: "list[np.ndarray]"
     ) -> "list[np.ndarray]":
         """Synthesize many mels in one device call (padded to a common
-        length, trimmed per input). Per-call cost is dominated by the
-        iterative STFT loop, so batching ~linearly increases
-        throughput."""
-        t_max = max(len(m) for m in mels)
+        BUCKETED length, trimmed per input). Per-call cost is dominated
+        by the iterative STFT loop, so batching ~linearly increases
+        throughput; bucketing the padded length to 32-frame (~0.5 s)
+        boundaries caps the number of distinct compiled programs across
+        a corpus of arbitrary utterance lengths (one compile per bucket
+        instead of per length). Padding frames are zero = the
+        normalized scale's silence floor; outputs are trimmed to each
+        input's true sample count."""
+        t_max = -(-max(len(m) for m in mels) // 32) * 32
         batch = np.zeros((len(mels), t_max, mels[0].shape[1]), np.float32)
         for i, m in enumerate(mels):
             batch[i, : len(m)] = m

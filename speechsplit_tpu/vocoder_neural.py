@@ -417,7 +417,10 @@ class NeuralVocoder:
     def synthesize_batch(
         self, mels: "list[np.ndarray]"
     ) -> "list[np.ndarray]":
-        t_max = max(len(m) for m in mels)
+        # pad to 32-frame (~0.5 s) buckets: one compiled program per
+        # bucket instead of per distinct utterance length (see
+        # GriffinLimVocoder.synthesize_batch)
+        t_max = -(-max(len(m) for m in mels) // 32) * 32
         batch = np.zeros(
             (len(mels), t_max, mels[0].shape[1]), np.float32
         )
@@ -448,6 +451,7 @@ def load_vocoder(
     hop: int = 256,
     sample_rate: int = 16000,
     refine_iters: int = 0,
+    refine_momentum: float = 0.9,
 ) -> NeuralVocoder:
     """Restore a trained vocoder; the architecture (channels, depth,
     n_fft) is inferred from the checkpoint's parameter shapes."""
@@ -465,4 +469,5 @@ def load_vocoder(
     return NeuralVocoder(
         params, n_fft=n_fft, hop=hop, channels=channels, depth=depth,
         sample_rate=sample_rate, refine_iters=refine_iters,
+        refine_momentum=refine_momentum,
     )
