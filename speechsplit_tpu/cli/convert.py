@@ -51,8 +51,11 @@ def main(argv=None) -> None:
     parser.add_argument("--synthesize", action="store_true")
     parser.add_argument(
         "--vocoder_ckpt", default="",
-        help="neural vocoder checkpoint dir (cli.train_vocoder output); "
-        "default synthesizes with the built-in Griffin-Lim",
+        help="neural vocoder checkpoint: a cli.train_vocoder output "
+        "dir, a packed .npz, or the literal 'default' for the "
+        "pretrained asset shipped in the repo "
+        "(assets/vocoder_istft_100k.npz); empty = synthesize with the "
+        "built-in Griffin-Lim",
     )
     parser.add_argument(
         "--vocoder_refine", type=int, default=8,

@@ -136,7 +136,9 @@ def main(argv=None) -> None:
     parser.add_argument("--out_dir", default="results")
     parser.add_argument(
         "--vocoder_ckpt", default="",
-        help="neural vocoder checkpoint dir; default = Griffin-Lim",
+        help="neural vocoder checkpoint (dir, .npz, or the literal "
+        "'default' for the shipped pretrained asset); empty = "
+        "Griffin-Lim",
     )
     parser.add_argument(
         "--vocoder_refine", type=int, default=8,

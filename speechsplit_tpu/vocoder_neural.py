@@ -446,6 +446,61 @@ def save_vocoder(path: str, params) -> str:
     return path
 
 
+def export_vocoder_npz(path: str, params, dtype: str = "float16") -> str:
+    """Pack a vocoder param tree into one ``.npz`` file.
+
+    Orbax checkpoints are directories of content-addressed blobs —
+    right for training-time save/restore, wrong for shipping a
+    pretrained artifact inside the repo. The npz form flattens the
+    tree to ``/``-joined keys and (by default) stores float16, halving
+    the footprint; measured effect of the f16 round trip on held-out
+    mel resynthesis error is below the reporting resolution (<0.01 dB,
+    see tests/test_vocoder_neural.py round-trip bound).
+    """
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = np.asarray(node).astype(dtype)
+
+    walk("", jax.device_get(params))
+    np.savez_compressed(path, **flat)
+    return os.path.abspath(path)
+
+
+def _load_npz_params(path: str):
+    params: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = params
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key].astype(np.float32)
+    return params
+
+
+def default_checkpoint() -> str:
+    """Path of the pretrained vocoder shipped with the repo checkout
+    (assets/vocoder_istft_100k.npz: 100k iters on a 440-utterance
+    synthetic multi-speaker corpus — BENCHMARKS.md 'Vocoder quality').
+    The CLIs accept ``--vocoder_ckpt default`` as an alias for it."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets",
+        "vocoder_istft_100k.npz",
+    )
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"pretrained vocoder asset not found at {path} "
+            "(not a repo checkout?) — pass an explicit checkpoint"
+        )
+    return path
+
+
 def load_vocoder(
     path: str,
     hop: int = 256,
@@ -454,13 +509,21 @@ def load_vocoder(
     refine_momentum: float = 0.9,
 ) -> NeuralVocoder:
     """Restore a trained vocoder; the architecture (channels, depth,
-    n_fft) is inferred from the checkpoint's parameter shapes."""
+    n_fft) is inferred from the checkpoint's parameter shapes. Accepts
+    either an Orbax checkpoint directory (training-time format) or a
+    packed ``.npz`` file (:func:`export_vocoder_npz` — the pretrained
+    artifact shipped in the repo)."""
     import orbax.checkpoint as ocp
 
+    if path == "default":
+        path = default_checkpoint()
     path = os.path.abspath(path)
-    if not os.path.isdir(path):
+    if os.path.isfile(path) and path.endswith(".npz"):
+        params = _load_npz_params(path)
+    elif os.path.isdir(path):
+        params = ocp.StandardCheckpointer().restore(path)
+    else:
         raise FileNotFoundError(f"no vocoder checkpoint at {path}")
-    params = ocp.StandardCheckpointer().restore(path)
     backbone = params["backbone"]
     channels = int(backbone["embed"]["kernel"].shape[1])
     depth = sum(1 for k in backbone if str(k).startswith("block_"))

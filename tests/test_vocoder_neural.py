@@ -148,6 +148,33 @@ def test_refine_pins_mel_consistency(rng):
     assert e_ref < 3.0, e_ref  # mel-consistency actually enforced
 
 
+def test_npz_export_roundtrip(tmp_path, rng):
+    """The packed .npz artifact format (repo-shippable pretrained
+    weights) restores the same architecture and — at float16 — output
+    within f16 rounding of the Orbax original."""
+    from speechsplit_tpu.vocoder_neural import export_vocoder_npz
+
+    trainer = VocoderTrainer(**TINY)
+    state = trainer.init(jax.random.PRNGKey(0), t_frames=16)
+    npz = export_vocoder_npz(str(tmp_path / "v.npz"), state.params)
+    voc = load_vocoder(npz)
+    assert voc.model.channels == TINY["channels"]
+    assert voc.model.depth == TINY["depth"]
+
+    mel = rng.rand(20, 80).astype(np.float32)
+    direct = NeuralVocoder(state.params, **TINY)
+    a, b = voc(mel), direct(mel)
+    # f16 weight rounding; outputs are peak-normalized to 0.9
+    assert np.abs(a - b).max() < 2e-2, np.abs(a - b).max()
+
+    lossless = load_vocoder(
+        export_vocoder_npz(
+            str(tmp_path / "v32.npz"), state.params, dtype="float32"
+        )
+    )
+    np.testing.assert_allclose(lossless(mel), b, atol=1e-6)
+
+
 def test_load_missing_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="vocoder checkpoint"):
         load_vocoder(str(tmp_path / "nope"))
