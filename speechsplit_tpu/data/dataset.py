@@ -29,6 +29,46 @@ def load_metadata(root_dir: str, name: str = "train.pkl") -> list:
         return pickle.load(handle)
 
 
+class LazyArray:
+    """A file-backed utterance slice that opens its ``.npy`` on access.
+
+    ``eager=False`` previously held a live ``np.memmap`` (one open file
+    descriptor) per feature file, capping corpus size at the process fd
+    limit — ~500 utterances under a 1024 ulimit, found by the 10k
+    scale rehearsal. This handle stores only (path, start, stop); every
+    access opens the file, copies the requested frames, and lets the
+    descriptor close — concurrently-open fds are bounded by the number
+    of arrays being materialized (one collator batch), not corpus size.
+    Page cache still makes repeat crops cheap.
+    """
+
+    __slots__ = ("path", "start", "stop")
+
+    def __init__(self, path: str, start: int, stop: int):
+        self.path, self.start, self.stop = path, start, stop
+
+    def __len__(self) -> int:
+        return self.stop - self.start
+
+    def _view(self) -> np.ndarray:
+        return np.load(self.path, mmap_mode="r")[self.start : self.stop]
+
+    def __getitem__(self, index) -> np.ndarray:
+        # np.array(copy=True) detaches the result from the memmap so
+        # its fd closes as soon as the temporary view is collected
+        return np.array(self._view()[index], copy=True)
+
+    def __array__(self, dtype=None, copy=None) -> np.ndarray:
+        out = np.array(self._view(), copy=True)
+        return out.astype(dtype) if dtype is not None else out
+
+
+def _npy_frame_count(path: str) -> int:
+    """First-axis length from the ``.npy`` header (no data read; the
+    transient memmap's fd closes with the temporary)."""
+    return int(np.load(path, mmap_mode="r").shape[0])
+
+
 class SpeakerDataset:
     """Eager feature cache: one entry per speaker."""
 
@@ -49,31 +89,45 @@ class SpeakerDataset:
         The reference default split=0 makes the test set empty — kept
         as the documented default rather than silently changed.
 
-        ``eager=False`` keeps features as memory-mapped ``.npy`` views
+        ``eager=False`` keeps features as :class:`LazyArray` handles
         instead of RAM copies — required at VCTK scale (the reference
         eagerly loads everything, data_loader.py:55-73, which caps
-        dataset size at host RAM). The collator's random crop reads
-        only the cropped frames, so page cache does the rest.
+        dataset size at host RAM). Only the ``.npy`` headers are read
+        at init; each access opens, copies the requested frames, and
+        closes, so open fds stay bounded by batch size (not corpus
+        size) and host RAM holds only what's in flight.
         """
         if mode not in ("train", "test"):
             raise ValueError(mode)
         self.root_dir = root_dir
         self.feat_dir = feat_dir
         meta = metadata if metadata is not None else load_metadata(root_dir)
-        mmap = None if eager else "r"
 
         def load_entry(entry):
             speaker, emb = entry[0], np.asarray(entry[1], np.float32)
             utts = []
             for rel in entry[2:]:
-                mel = np.load(os.path.join(root_dir, rel), mmap_mode=mmap)
-                f0 = np.load(os.path.join(feat_dir, rel), mmap_mode=mmap)
-                assert len(mel) == len(f0), rel
-                if mode == "train":
-                    mel, f0 = mel[split:], f0[split:]
+                mel_path = os.path.join(root_dir, rel)
+                f0_path = os.path.join(feat_dir, rel)
+                if eager:
+                    mel = np.load(mel_path)
+                    f0 = np.load(f0_path)
+                    assert len(mel) == len(f0), rel
+                    if mode == "train":
+                        mel, f0 = mel[split:], f0[split:]
+                    else:
+                        mel, f0 = mel[:split], f0[:split]
+                    utts.append((mel, f0))
                 else:
-                    mel, f0 = mel[:split], f0[:split]
-                utts.append((mel, f0))
+                    t = _npy_frame_count(mel_path)
+                    assert t == _npy_frame_count(f0_path), rel
+                    start, stop = (split, t) if mode == "train" else (0, split)
+                    utts.append(
+                        (
+                            LazyArray(mel_path, start, stop),
+                            LazyArray(f0_path, start, stop),
+                        )
+                    )
             return speaker, emb, utts
 
         with ThreadPoolExecutor(max_workers=num_workers) as pool:

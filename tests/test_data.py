@@ -141,15 +141,39 @@ def test_read_wav_roundtrip(tmp_path):
     assert np.abs(back - wav).max() < 1e-3
 
 
-def test_lazy_memmap_dataset(prepared_dataset):
-    """eager=False keeps memmap views; batches are identical to eager."""
+def test_lazy_dataset(prepared_dataset):
+    """eager=False keeps lazy file handles; batches are identical to
+    eager, and NO file descriptors are held between accesses (the old
+    always-open-memmap form capped corpus size at the process fd
+    limit — ~500 utterances under a 1024 ulimit; found at the 10k
+    scale rehearsal)."""
+    import os
+
+    from speechsplit_tpu.data.dataset import LazyArray
+
     mel_dir, f0_dir = prepared_dataset
     lazy = SpeakerDataset(mel_dir, f0_dir, eager=False)
     eager = SpeakerDataset(mel_dir, f0_dir, eager=True)
-    assert isinstance(lazy.entries[0][2][0][0], np.memmap)
+    assert isinstance(lazy.entries[0][2][0][0], LazyArray)
+
+    fd_dir = "/proc/self/fd"
+    if os.path.isdir(fd_dir):  # linux: holding the dataset keeps 0 fds
+        before = len(os.listdir(fd_dir))
+        cfg0 = CFG.replace(batch_size=4)
+        _ = next(data_loader(lazy, cfg0, seed=1))
+        assert len(os.listdir(fd_dir)) <= before + 1
+
     cfg = CFG.replace(batch_size=4)
     b_lazy = next(data_loader(lazy, cfg, seed=3))
     b_eager = next(data_loader(eager, cfg, seed=3))
     np.testing.assert_array_equal(b_lazy.mel, b_eager.mel)
     np.testing.assert_array_equal(b_lazy.f0, b_eager.f0)
     np.testing.assert_array_equal(b_lazy.len_org, b_eager.len_org)
+
+    # lazy handles materialize like arrays (resident-upload path)
+    mel0, f00 = lazy.entries[0][2][0]
+    e_mel0, e_f00 = eager.entries[0][2][0]
+    assert len(mel0) == len(e_mel0)
+    np.testing.assert_array_equal(np.asarray(mel0), e_mel0)
+    np.testing.assert_array_equal(mel0[2:5], e_mel0[2:5])
+    np.testing.assert_array_equal(np.asarray(f00), e_f00)
