@@ -100,6 +100,13 @@ def _extract_core(
         normalization touches voiced entries only, utils.py:35-42).
     """
     batch, _ = wavs.shape
+    if wavs.dtype == jnp.int16:
+        # PCM16 feed: callers may upload raw int16 samples (half the
+        # host->device bytes — the upload dominates end-to-end
+        # preprocessing on slow links) and convert here. Bit-identical
+        # to a host-side conversion: every int16/32768 is exactly
+        # representable in float32.
+        wavs = wavs.astype(jnp.float32) / 32768.0
 
     # gain + dither (make_spect_f0.py:55); high-pass per mode
     noise = (
@@ -243,7 +250,14 @@ def pad_batch(
     lengths = np.array([len(w) for w in wavs], np.int32)
     n = int(lengths.max())
     n = ((n + bucket - 1) // bucket) * bucket
-    out = np.zeros((len(wavs), n), np.float32)
+    # preserve an all-PCM16 batch: the extractors convert on device
+    # (same exact numerics, half the upload bytes)
+    dtype = (
+        np.int16
+        if all(w.dtype == np.int16 for w in wavs)
+        else np.float32
+    )
+    out = np.zeros((len(wavs), n), dtype)
     for i, w in enumerate(wavs):
         out[i, : len(w)] = w
     return out, lengths

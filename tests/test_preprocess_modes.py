@@ -128,3 +128,36 @@ def test_scan_matches_per_batch(rng):
         np.asarray(mel_c).astype(np.float32) - np.asarray(mel_s)
     ).max()
     assert err < 4e-3, err
+
+
+def test_pcm16_feed_bit_identical(rng):
+    """Uploading raw int16 PCM (half the host->device bytes) and
+    converting in-graph must be BIT-identical to the host-converted
+    float32 feed: every int16/32768 is exact in float32."""
+    n = FS
+    w16 = (
+        np.clip(_speechlike(rng, n, 150.0), -0.999, 0.999) * 32768.0
+    ).astype(np.int16)
+    w32 = (w16 / 32768.0).astype(np.float32)
+    lengths = jnp.asarray([n])
+    lo, hi = jnp.asarray([50.0]), jnp.asarray([600.0])
+    key = jax.random.PRNGKey(7)
+    mel16, f016 = extract_features(
+        jnp.asarray(w16)[None], lengths, lo, hi, key
+    )
+    mel32, f032 = extract_features(
+        jnp.asarray(w32)[None], lengths, lo, hi, key
+    )
+    np.testing.assert_array_equal(np.asarray(mel16), np.asarray(mel32))
+    np.testing.assert_array_equal(np.asarray(f016), np.asarray(f032))
+
+
+def test_pad_batch_preserves_pcm16():
+    from speechsplit_tpu.preprocess import pad_batch
+
+    i = [np.ones(100, np.int16), np.ones(160, np.int16)]
+    batch, lengths = pad_batch(i)
+    assert batch.dtype == np.int16
+    assert list(lengths) == [100, 160]
+    mixed, _ = pad_batch([np.ones(10, np.int16), np.ones(10, np.float32)])
+    assert mixed.dtype == np.float32
