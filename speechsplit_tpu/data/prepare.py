@@ -113,6 +113,17 @@ def extract_dir(
        device compute overlaps the host-side fetch/write;
     3. ``.npy`` writes happen on a small thread pool.
 
+    Batches mix speakers and are formed over ALL files sorted by wav
+    size: the extractor takes per-utterance F0 bounds, so nothing ties
+    a batch to one speaker, and length-sorted batching (a) keeps every
+    batch's padded bucket near its members' true lengths (padding is
+    wasted upload + compute) and (b) makes consecutive batches share a
+    shape, so the same-shape dispatch grouping forms full staged
+    programs instead of fragmenting at every bucket flip — measured on
+    a variable-duration 10k-utterance corpus, per-speaker batching in
+    arrival order fragmented 79 batches into 22 shape-broken groups
+    with half the work in a double-size bucket.
+
     ``compress_fetch`` fetches results as bfloat16 (halves device->host
     bytes; ~1e-3 rounding on the [0,1] mel scale, files still float32).
     """
@@ -124,18 +135,24 @@ def extract_dir(
         d for d in os.listdir(wav_dir)
         if os.path.isdir(os.path.join(wav_dir, d))
     )
-    # flat job list: (speaker, [filenames]) batches in speaker order
-    jobs: List[tuple] = []
+    # per-file entries: (speaker, fname, lo, hi, byte_size)
+    entries: List[tuple] = []
     for speaker in speakers:
         lo, hi = GENDER_F0_RANGE[spk2gen[speaker]]
         os.makedirs(os.path.join(mel_dir, speaker), exist_ok=True)
         os.makedirs(os.path.join(f0_dir, speaker), exist_ok=True)
-        files = sorted(
+        for f in sorted(
             f for f in os.listdir(os.path.join(wav_dir, speaker))
             if f.endswith(".wav")
-        )
-        for start in range(0, len(files), batch_size):
-            jobs.append((speaker, files[start : start + batch_size], lo, hi))
+        ):
+            size = os.path.getsize(os.path.join(wav_dir, speaker, f))
+            entries.append((speaker, f, lo, hi, size))
+    entries.sort(key=lambda e: (e[4], e[0], e[1]))
+    # jobs: [[(speaker, fname, lo, hi), ...] x <=batch_size]
+    jobs: List[list] = [
+        [e[:4] for e in entries[start : start + batch_size]]
+        for start in range(0, len(entries), batch_size)
+    ]
 
     # stage 1: reader thread (decode + pad ahead of the device)
     ready: "queue_mod.Queue" = queue_mod.Queue(
@@ -144,12 +161,11 @@ def extract_dir(
 
     def read_jobs():
         for job in jobs:
-            speaker, chunk, lo, hi = job
             wavs = [
-                read_wav_pcm(os.path.join(wav_dir, speaker, f))
-                for f in chunk
+                read_wav_pcm(os.path.join(wav_dir, spk, f))
+                for spk, f, _lo, _hi in job
             ]
-            batch, lengths = pad_batch(wavs)
+            batch, lengths = pad_batch(wavs, bucket=8192)
             ready.put((job, batch, lengths))
         ready.put(None)
 
@@ -163,8 +179,7 @@ def extract_dir(
     def write_group(group, mel_host, f0_host):
         """mel_host [K, B, T, M] / f0_host [K, B, T] numpy."""
         for k, (job, _batch, lengths) in enumerate(group):
-            speaker, chunk, _lo, _hi = job
-            for i, fname in enumerate(chunk):
+            for i, (speaker, fname, _lo, _hi) in enumerate(job):
                 t = frame_count(int(lengths[i]))
                 stem = fname[:-4]
                 mel_i = np.asarray(
@@ -195,10 +210,16 @@ def extract_dir(
         wavs = np.stack([b for _j, b, _l in group])
         lengths = np.stack([l for _j, _b, l in group])
         lo = np.stack(
-            [np.full(len(j[1]), j[2], np.float32) for j, _b, _l in group]
+            [
+                np.asarray([e[2] for e in j], np.float32)
+                for j, _b, _l in group
+            ]
         )
         hi = np.stack(
-            [np.full(len(j[1]), j[3], np.float32) for j, _b, _l in group]
+            [
+                np.asarray([e[3] for e in j], np.float32)
+                for j, _b, _l in group
+            ]
         )
         mel, f0 = extract_features_scan(
             wavs, lengths, lo, hi, sub, compress=compress_fetch
