@@ -243,8 +243,24 @@ def extract_dir(
     def flush_pending():
         if not pending:
             return
-        mel_f0 = dispatch(pending)
-        in_flight.append((list(pending), *mel_f0))
+        # pad the group to full stage depth by repeating its last batch:
+        # the scanned program then has ONE K per bucket instead of one
+        # per leftover size — distinct (K, T) programs each cost a
+        # compile (or a persistent-cache load) and a corpus of sorted
+        # variable-length batches otherwise produces dozens of them.
+        # Only the real batches are fetched/written (write_group
+        # iterates the unpadded group); the duplicate rows cost device
+        # compute only, bounded by one batch x (depth-1) per corpus.
+        group = list(pending)
+        while len(group) < batches_per_dispatch:
+            group.append(group[-1])
+        k_real = len(pending)
+        mel_dev, f0_dev = dispatch(group)
+        if len(group) != k_real:
+            # trim the padding rows ON DEVICE so they never cross the
+            # host link (fetch bandwidth is the scarce resource)
+            mel_dev, f0_dev = mel_dev[:k_real], f0_dev[:k_real]
+        in_flight.append((list(pending), mel_dev, f0_dev))
         pending.clear()
         while len(in_flight) > 1:  # fetch older while newest computes
             drain_one()
