@@ -12,6 +12,15 @@ memory at every stage.
         --num 10000 --duration 1.6 --speakers 16
     python -m benchmarks.scale_rehearsal --wav_dir /tmp/scale/wavs \
         --work /tmp/scale --steps 300
+    python -m benchmarks.scale_rehearsal --wav_dir /tmp/scale/wavs \
+        --work /tmp/scale --steps 300 --device_direct
+
+``--device_direct`` replaces the archival stages (feature trees on
+disk -> mmap -> upload) with resident.build_resident_from_wavs:
+features are computed AND stored in HBM by the same device programs,
+so nothing but PCM16 audio ever crosses the host link. The archival
+mode remains the right pipeline when .npy trees are themselves the
+product.
 
 Prints one JSON dict: preprocessing frames/s, dataset-load seconds
 (mmap), resident HBM bytes (+ measured device memory stats when the
@@ -45,6 +54,10 @@ def main(argv=None) -> None:
     ap.add_argument("--batches_per_dispatch", type=int, default=8)
     ap.add_argument("--skip_preprocess", action="store_true",
                     help="reuse existing feature trees under --work")
+    ap.add_argument("--device_direct", action="store_true",
+                    help="preprocess STRAIGHT into the HBM store "
+                    "(resident.build_resident_from_wavs): features "
+                    "never cross the host link; replaces stages 1-3")
     args = ap.parse_args(argv)
 
     from speechsplit_tpu.utils import enable_compile_cache
@@ -54,31 +67,54 @@ def main(argv=None) -> None:
     import numpy as np
 
     import jax
-    import jax.numpy as jnp
 
     from speechsplit_tpu.config import SpeechSplitConfig, resolve_dtype
     from speechsplit_tpu.data.dataset import SpeakerDataset
     from speechsplit_tpu.data.prepare import build_metadata, extract_dir
-    from speechsplit_tpu.data.resident import (
-        build_resident,
-        make_resident_train_step,
-        plan_batches,
-        stack_plans,
-    )
-    from speechsplit_tpu.training.train_step import create_train_state
+    from speechsplit_tpu.data.resident import build_resident
 
     result: dict = {}
     mel_dir = os.path.join(args.work, "spmel")
     f0_dir = os.path.join(args.work, "raptf0")
+    config = SpeechSplitConfig()
+    store = resolve_dtype(args.store_dtype)
+    speakers = sorted(
+        d for d in os.listdir(args.wav_dir)
+        if os.path.isdir(os.path.join(args.wav_dir, d))
+    )
+    spk2gen = {s: ("M" if i % 2 == 0 else "F")
+               for i, s in enumerate(speakers)}
+
+    # ---- device-direct: wavs -> HBM store in one pipeline ------------
+    if args.device_direct:
+        from speechsplit_tpu.data.resident import build_resident_from_wavs
+
+        t0 = time.time()
+        features, speaker_utts = build_resident_from_wavs(
+            args.wav_dir, spk2gen, config, store,
+            batches_per_dispatch=args.batches_per_dispatch,
+        )
+        jax.block_until_ready(features.mel)
+        n_frames = int(np.sum(np.asarray(features.length)))
+        dt = time.time() - t0
+        result["device_direct_seconds"] = round(dt, 1)
+        result["preprocess_frames"] = n_frames
+        result["device_direct_frames_per_sec"] = round(n_frames / dt, 1)
+        log(f"device-direct: {n_frames} frames into the HBM store "
+            f"in {dt:.1f}s ({args.store_dtype})")
+        feat_bytes = sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize for a in features
+        )
+        result["resident_feature_bytes"] = feat_bytes
+        result["dataset_utterances"] = int(
+            sum(len(u) for u in speaker_utts)
+        )
+        _train_stage(args, result, config, features, speaker_utts)
+        print(json.dumps(result))
+        return
 
     # ---- stage 1: preprocessing (pipelined, staged dispatches) -------
     if not args.skip_preprocess:
-        speakers = sorted(
-            d for d in os.listdir(args.wav_dir)
-            if os.path.isdir(os.path.join(args.wav_dir, d))
-        )
-        spk2gen = {s: ("M" if i % 2 == 0 else "F")
-                   for i, s in enumerate(speakers)}
         t0 = time.time()
         extract_dir(
             args.wav_dir, mel_dir, f0_dir, spk2gen,
@@ -100,7 +136,6 @@ def main(argv=None) -> None:
         build_metadata(mel_dir)
 
     # ---- stage 2: mmap dataset load ----------------------------------
-    config = SpeechSplitConfig()
     t0 = time.time()
     with open(os.path.join(mel_dir, "train.pkl"), "rb") as fh:
         metadata = pickle.load(fh)
@@ -114,7 +149,6 @@ def main(argv=None) -> None:
         f"{result['dataset_load_seconds']}s")
 
     # ---- stage 3: resident upload ------------------------------------
-    store = resolve_dtype(args.store_dtype)
     t0 = time.time()
     features, speaker_utts = build_resident(dataset, config, store)
     feat_bytes = sum(
@@ -125,6 +159,24 @@ def main(argv=None) -> None:
     result["resident_feature_bytes"] = feat_bytes
     log(f"resident: {feat_bytes / 1e9:.2f} GB uploaded in "
         f"{result['resident_upload_seconds']}s ({args.store_dtype})")
+
+    _train_stage(args, result, config, features, speaker_utts)
+    print(json.dumps(result))
+
+
+def _train_stage(args, result, config, features, speaker_utts) -> None:
+    """Stage 4: sustained resident training + footprint accounting."""
+    import numpy as np
+
+    import jax
+
+    from speechsplit_tpu.data.resident import (
+        make_resident_train_step,
+        plan_batches,
+        stack_plans,
+    )
+    from speechsplit_tpu.training.train_step import create_train_state
+
     dev = jax.devices()[0]
     try:
         stats = dev.memory_stats()
@@ -138,10 +190,9 @@ def main(argv=None) -> None:
     result["corpus_hours"] = round(hours, 2)
     if hours > 0:
         result["vctk44h_extrapolated_gb"] = round(
-            feat_bytes / 1e9 * 44.0 / hours, 2
+            result["resident_feature_bytes"] / 1e9 * 44.0 / hours, 2
         )
 
-    # ---- stage 4: sustained training ---------------------------------
     module, state = create_train_state(config, jax.random.PRNGKey(0))
     step = make_resident_train_step(config, module, features)
     plans = stack_plans(
@@ -167,8 +218,6 @@ def main(argv=None) -> None:
     result["final_loss"] = round(last, 4)
     log(f"train: {steps_done} steps in {dt:.1f}s "
         f"({result['train_steps_per_sec']} steps/s), loss {last:.4f}")
-
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -81,6 +81,17 @@ def main(argv=None) -> None:
         help="storage dtype for --data_on_device features (bfloat16 "
         "halves HBM at ~4e-3 feature quantization)",
     )
+    parser.add_argument(
+        "--wav_dir", default="",
+        help="train STRAIGHT from a wav tree: preprocess on device "
+        "into the HBM feature store (features never cross the host "
+        "link — no .npy trees, no root_dir/feat_dir needed). Requires "
+        "--data_on_device. Speaker genders from --spk2gen when present",
+    )
+    parser.add_argument(
+        "--spk2gen", default="assets/spk2gen.pkl",
+        help="speaker->gender pickle for --wav_dir (else all 'M')",
+    )
     args = parser.parse_args(argv)
 
     from speechsplit_tpu.utils import enable_compile_cache
@@ -102,11 +113,33 @@ def main(argv=None) -> None:
     for d in (args.log_dir, args.model_save_dir, args.sample_dir):
         os.makedirs(d, exist_ok=True)
 
-    dataset = SpeakerDataset(
-        config.root_dir, config.feat_dir, mode=config.mode,
-        eager=not args.lazy_data,
-    )
-    loader = data_loader(dataset, config, seed=args.seed)
+    dataset = loader = resident = None
+    if args.wav_dir:
+        if not args.data_on_device:
+            raise SystemExit("--wav_dir requires --data_on_device")
+        import pickle
+
+        from speechsplit_tpu.config import resolve_dtype
+        from speechsplit_tpu.data.resident import build_resident_from_wavs
+
+        spk2gen = {}
+        if os.path.exists(args.spk2gen):
+            with open(args.spk2gen, "rb") as handle:
+                spk2gen = dict(pickle.load(handle))
+        for s in sorted(os.listdir(args.wav_dir)):
+            if os.path.isdir(os.path.join(args.wav_dir, s)):
+                spk2gen.setdefault(s, "M")
+        resident = build_resident_from_wavs(
+            args.wav_dir, spk2gen, config,
+            store_dtype=resolve_dtype(args.resident_dtype),
+            seed=args.seed,
+        )
+    else:
+        dataset = SpeakerDataset(
+            config.root_dir, config.feat_dir, mode=config.mode,
+            eager=not args.lazy_data,
+        )
+        loader = data_loader(dataset, config, seed=args.seed)
 
     devices = jax.devices()
     n = args.num_devices or len(devices)
@@ -133,7 +166,8 @@ def main(argv=None) -> None:
         resident_dtype=args.resident_dtype,
     )
     Solver(
-        loader, run_config, config, mesh=mesh, dataset=dataset
+        loader, run_config, config, mesh=mesh, dataset=dataset,
+        resident=resident,
     ).train()
 
 

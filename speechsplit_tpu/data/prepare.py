@@ -71,6 +71,20 @@ def read_wav_pcm(path: str, expect_rate: int = 16000) -> np.ndarray:
     return data.astype(np.float32)
 
 
+def wav_frame_count(path: str, hop: int = 256) -> int:
+    """Mel/F0 frames a wav will produce, from its header only (no data
+    read): ``samples // hop + 1`` (preprocess.frame_count). Lets the
+    device-direct resident builder size its HBM store before any audio
+    is decoded. Falls back to a full decode on non-canonical files."""
+    import wave
+
+    try:
+        with wave.open(path, "rb") as handle:
+            return handle.getnframes() // hop + 1
+    except wave.Error:
+        return len(read_wav_pcm(path)) // hop + 1
+
+
 def list_wavs(wav_dir: str) -> List[str]:
     """Deterministic recursive wav enumeration: sorted ``os.walk`` with
     sorted filenames. Shared by ``cli.train_vocoder`` (corpus loading /
@@ -85,6 +99,107 @@ def list_wavs(wav_dir: str) -> List[str]:
             if name.endswith(".wav"):
                 paths.append(os.path.join(root, name))
     return paths
+
+
+def _enumerate_entries(
+    wav_dir: str, spk2gen: Dict[str, str]
+) -> tuple:
+    """Deterministic corpus enumeration shared by the archival and
+    device-direct preprocessing paths.
+
+    Returns ``(speakers, entries)``: sorted speaker dirs, and one
+    ``(speaker, fname, f0_lo, f0_hi, byte_size)`` tuple per wav, sorted
+    by ``(size, speaker, fname)`` — length-sorted batching keeps every
+    padded bucket near its members' true lengths and makes consecutive
+    batches share a shape (see extract_dir's docstring)."""
+    speakers = sorted(
+        d for d in os.listdir(wav_dir)
+        if os.path.isdir(os.path.join(wav_dir, d))
+    )
+    entries: List[tuple] = []
+    for speaker in speakers:
+        lo, hi = GENDER_F0_RANGE[spk2gen[speaker]]
+        for f in sorted(
+            f for f in os.listdir(os.path.join(wav_dir, speaker))
+            if f.endswith(".wav")
+        ):
+            size = os.path.getsize(os.path.join(wav_dir, speaker, f))
+            entries.append((speaker, f, lo, hi, size))
+    entries.sort(key=lambda e: (e[4], e[0], e[1]))
+    return speakers, entries
+
+
+def _staged_groups(
+    wav_dir: str,
+    entries: Sequence[tuple],
+    *,
+    batch_size: int = 16,
+    batches_per_dispatch: int = 8,
+) -> Iterable[tuple]:
+    """Decode + batch + group the corpus ahead of the device.
+
+    A reader thread decodes and pads wav batches (PCM16 preserved);
+    the generator groups same-shape batches ``batches_per_dispatch``
+    deep and pads short leftover groups to FULL depth by repeating
+    their last batch — the staged device program then has ONE depth K
+    per shape bucket instead of one per leftover size (each distinct
+    (K, T) program costs a compile or cache load).
+
+    Yields ``(group, k_real)`` where ``group`` is a list of exactly
+    ``batches_per_dispatch`` tuples ``(job, batch, lengths)`` (``job`` =
+    ``[(speaker, fname, f0_lo, f0_hi), ...]``) and entries past
+    ``k_real`` are the padding repeats. Consumers must not let padded
+    results cross the host link (fetch bandwidth is the scarce
+    resource): the archival path trims on device, the resident path
+    scatters them to a dropped row id."""
+    import queue as queue_mod
+    import threading
+
+    jobs: List[list] = [
+        [e[:4] for e in entries[start : start + batch_size]]
+        for start in range(0, len(entries), batch_size)
+    ]
+    ready: "queue_mod.Queue" = queue_mod.Queue(
+        maxsize=2 * max(1, batches_per_dispatch)
+    )
+
+    def read_jobs():
+        for job in jobs:
+            wavs = [
+                read_wav_pcm(os.path.join(wav_dir, spk, f))
+                for spk, f, _lo, _hi in job
+            ]
+            batch, lengths = pad_batch(wavs, bucket=8192)
+            ready.put((job, batch, lengths))
+        ready.put(None)
+
+    reader = threading.Thread(target=read_jobs, daemon=True)
+    reader.start()
+
+    pending: List[tuple] = []
+
+    def padded():
+        group = list(pending)
+        while len(group) < batches_per_dispatch:
+            group.append(group[-1])
+        return group, len(pending)
+
+    while True:
+        item = ready.get()
+        if item is None:
+            break
+        _job, batch, _lengths = item
+        if pending and (
+            pending[0][1].shape != batch.shape
+            or pending[0][1].dtype != batch.dtype
+            or len(pending) >= batches_per_dispatch
+        ):
+            yield padded()
+            pending.clear()
+        pending.append(item)
+    if pending:
+        yield padded()
+    reader.join()
 
 
 def extract_dir(
@@ -127,50 +242,12 @@ def extract_dir(
     ``compress_fetch`` fetches results as bfloat16 (halves device->host
     bytes; ~1e-3 rounding on the [0,1] mel scale, files still float32).
     """
-    import queue as queue_mod
-    import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    speakers = sorted(
-        d for d in os.listdir(wav_dir)
-        if os.path.isdir(os.path.join(wav_dir, d))
-    )
-    # per-file entries: (speaker, fname, lo, hi, byte_size)
-    entries: List[tuple] = []
+    speakers, entries = _enumerate_entries(wav_dir, spk2gen)
     for speaker in speakers:
-        lo, hi = GENDER_F0_RANGE[spk2gen[speaker]]
         os.makedirs(os.path.join(mel_dir, speaker), exist_ok=True)
         os.makedirs(os.path.join(f0_dir, speaker), exist_ok=True)
-        for f in sorted(
-            f for f in os.listdir(os.path.join(wav_dir, speaker))
-            if f.endswith(".wav")
-        ):
-            size = os.path.getsize(os.path.join(wav_dir, speaker, f))
-            entries.append((speaker, f, lo, hi, size))
-    entries.sort(key=lambda e: (e[4], e[0], e[1]))
-    # jobs: [[(speaker, fname, lo, hi), ...] x <=batch_size]
-    jobs: List[list] = [
-        [e[:4] for e in entries[start : start + batch_size]]
-        for start in range(0, len(entries), batch_size)
-    ]
-
-    # stage 1: reader thread (decode + pad ahead of the device)
-    ready: "queue_mod.Queue" = queue_mod.Queue(
-        maxsize=2 * max(1, batches_per_dispatch)
-    )
-
-    def read_jobs():
-        for job in jobs:
-            wavs = [
-                read_wav_pcm(os.path.join(wav_dir, spk, f))
-                for spk, f, _lo, _hi in job
-            ]
-            batch, lengths = pad_batch(wavs, bucket=8192)
-            ready.put((job, batch, lengths))
-        ready.put(None)
-
-    reader = threading.Thread(target=read_jobs, daemon=True)
-    reader.start()
 
     key = jax.random.PRNGKey(seed)
     writers = ThreadPoolExecutor(max_workers=writer_threads)
@@ -238,49 +315,21 @@ def extract_dir(
             f0_host = f0_host.astype(np.float32)
         write_group(group, mel_host, f0_host)
 
-    pending: List[tuple] = []
-
-    def flush_pending():
-        if not pending:
-            return
-        # pad the group to full stage depth by repeating its last batch:
-        # the scanned program then has ONE K per bucket instead of one
-        # per leftover size — distinct (K, T) programs each cost a
-        # compile (or a persistent-cache load) and a corpus of sorted
-        # variable-length batches otherwise produces dozens of them.
-        # Only the real batches are fetched/written (write_group
-        # iterates the unpadded group); the duplicate rows cost device
-        # compute only, bounded by one batch x (depth-1) per corpus.
-        group = list(pending)
-        while len(group) < batches_per_dispatch:
-            group.append(group[-1])
-        k_real = len(pending)
+    for group, k_real in _staged_groups(
+        wav_dir, entries,
+        batch_size=batch_size,
+        batches_per_dispatch=batches_per_dispatch,
+    ):
         mel_dev, f0_dev = dispatch(group)
-        if len(group) != k_real:
+        if k_real != len(group):
             # trim the padding rows ON DEVICE so they never cross the
             # host link (fetch bandwidth is the scarce resource)
             mel_dev, f0_dev = mel_dev[:k_real], f0_dev[:k_real]
-        in_flight.append((list(pending), mel_dev, f0_dev))
-        pending.clear()
+        in_flight.append((group[:k_real], mel_dev, f0_dev))
         while len(in_flight) > 1:  # fetch older while newest computes
             drain_one()
-
-    while True:
-        item = ready.get()
-        if item is None:
-            break
-        _job, batch, _lengths = item
-        if pending and (
-            pending[0][1].shape != batch.shape
-            or pending[0][1].dtype != batch.dtype
-            or len(pending) >= batches_per_dispatch
-        ):
-            flush_pending()
-        pending.append(item)
-    flush_pending()
     while in_flight:
         drain_one()
-    reader.join()
     for fut in write_futures:
         fut.result()  # surface any write error
     writers.shutdown()

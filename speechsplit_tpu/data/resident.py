@@ -30,6 +30,7 @@ loop (solver.py:147-150).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Iterator, NamedTuple, Optional, Tuple
 
 import jax
@@ -110,6 +111,123 @@ def build_resident(
         f0=jax.device_put(f0_arr),
         spk_emb=jax.device_put(jnp.asarray(np.stack(embs))),
         length=jax.device_put(jnp.asarray(lens, jnp.int32)),
+    )
+    return features, speaker_utts
+
+
+def build_resident_from_wavs(
+    wav_dir: str,
+    spk2gen: dict,
+    config: SpeechSplitConfig,
+    store_dtype: Any = jnp.float32,
+    *,
+    batch_size: int = 16,
+    seed: int = 0,
+    batches_per_dispatch: int = 8,
+    reference_compat: bool = False,
+) -> Tuple[ResidentFeatures, list]:
+    """Preprocess a wav tree STRAIGHT into the HBM feature store —
+    features never cross the host link.
+
+    The archival flow (prepare.extract_dir -> .npy trees -> dataset ->
+    :func:`build_resident`) fetches every feature batch to the host and
+    re-uploads the corpus afterwards; on hosted/tunneled TPU links that
+    fetch dominates the entire data path (BENCHMARKS.md "scale
+    rehearsal"). Here the host streams PCM16 wav batches up once and
+    every extraction result is row-scattered into the donated store by
+    the same device program that computed it
+    (preprocess.extract_into_store) — the only downlink traffic is
+    compile metadata.
+
+    Bit-parity: batching, per-dispatch PRNG keys, frame masking and
+    store padding all mirror the archival flow exactly, so for a given
+    seed and ``store_dtype=bfloat16`` the resulting store is
+    bit-identical to extract_dir(compress_fetch=True) -> build_resident
+    (tests/test_resident.py). Replaces the reference's make_spect_f0.py
+    -> txt/npy -> data_loader round trip (make_spect_f0.py:48-74,
+    data_loader.py:30-45) with a zero-roundtrip device pipeline.
+
+    Returns (features, speaker_utts) exactly like :func:`build_resident`.
+    """
+    from speechsplit_tpu import preprocess
+    from speechsplit_tpu.data import prepare
+
+    speakers, entries = prepare._enumerate_entries(wav_dir, spk2gen)
+
+    # utterance ids are speaker-major in sorted-file order — the same
+    # flat order the metadata/dataset path produces (prepare.build_
+    # metadata walks sorted speakers/files; build_resident flattens
+    # dataset entries in that order)
+    uid_of: dict = {}
+    speaker_utts: list = []
+    embs: list = []
+    frames: list = []
+    by_speaker: dict = {}
+    for e in sorted(entries, key=lambda e: (e[0], e[1])):
+        by_speaker.setdefault(e[0], []).append(e)
+    for idx, speaker in enumerate(speakers):
+        emb = prepare.speaker_embedding(
+            speaker, idx, config.dim_spk_emb, reference_compat
+        )
+        ids = []
+        for speaker_, fname, _lo, _hi, _size in by_speaker.get(speaker, []):
+            uid = len(frames)
+            uid_of[(speaker_, fname)] = uid
+            ids.append(uid)
+            embs.append(emb)
+            frames.append(
+                prepare.wav_frame_count(os.path.join(wav_dir, speaker, fname))
+            )
+        speaker_utts.append(ids)
+
+    u = len(frames)
+    if u == 0:
+        raise ValueError(f"no wavs under {wav_dir}")
+    t_pad = max(frames) + config.max_len_pad
+    mel_store = jnp.zeros((u, t_pad, config.dim_freq), store_dtype)
+    f0_store = jnp.full((u, t_pad), UNVOICED, store_dtype)
+
+    key = jax.random.PRNGKey(seed)
+    for group, k_real in prepare._staged_groups(
+        wav_dir, entries,
+        batch_size=batch_size,
+        batches_per_dispatch=batches_per_dispatch,
+    ):
+        key, sub = jax.random.split(key)
+        wavs = np.stack([b for _j, b, _l in group])
+        lengths = np.stack([l for _j, _b, l in group])
+        lo = np.stack(
+            [np.asarray([e[2] for e in j], np.float32)
+             for j, _b, _l in group]
+        )
+        hi = np.stack(
+            [np.asarray([e[3] for e in j], np.float32)
+             for j, _b, _l in group]
+        )
+        # padding repeats (k >= k_real) scatter to row `u`, which
+        # mode="drop" discards — their dither keys differ from the rows
+        # they repeat, so letting them land would break bit-parity
+        uids = np.stack(
+            [
+                np.asarray(
+                    [
+                        uid_of[(spk, f)] if k < k_real else u
+                        for spk, f, _lo2, _hi2 in job
+                    ],
+                    np.int32,
+                )
+                for k, (job, _b, _l) in enumerate(group)
+            ]
+        )
+        mel_store, f0_store = preprocess.extract_into_store(
+            mel_store, f0_store, wavs, lengths, lo, hi, uids, sub
+        )
+
+    features = ResidentFeatures(
+        mel=mel_store,
+        f0=f0_store,
+        spk_emb=jax.device_put(jnp.asarray(np.stack(embs))),
+        length=jax.device_put(jnp.asarray(frames, jnp.int32)),
     )
     return features, speaker_utts
 

@@ -231,6 +231,82 @@ def extract_features_scan(
     return mel, f0
 
 
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=(
+        "sample_rate", "n_fft", "hop", "n_mels", "order",
+        "fmin", "fmax", "cutoff", "dither", "gain", "highpass_mode",
+    ),
+)
+def extract_into_store(
+    mel_store: Array,
+    f0_store: Array,
+    wavs: Array,
+    lengths: Array,
+    f0_lo: Array,
+    f0_hi: Array,
+    uids: Array,
+    dither_key: Array,
+    **static,
+) -> Tuple[Array, Array]:
+    """K staged batches extracted and scattered straight into a
+    device-resident feature store — features never leave the device.
+
+    The archival pipeline (prepare.extract_dir) fetches every result
+    batch to the host to write ``.npy`` trees; when the features are
+    only needed for training (data/resident.py) that fetch is pure
+    waste — on hosted/tunneled TPU links it is the single largest cost
+    of the whole data path (BENCHMARKS.md "scale rehearsal": 288 s of
+    a 316 s preprocessing run was result fetch). This program replaces
+    fetch + re-upload with an in-graph scatter: scan over the K batches
+    (identical numerics/keys to :func:`extract_features_scan`), mask
+    each utterance past its true frame count (zero mel / unvoiced-
+    sentinel F0 — exactly the padding build_resident applies on the
+    host), cast to the store dtype, and row-scatter at
+    ``[uid, 0:T_batch]``. Both stores are donated, so the update is
+    in-place in HBM across calls.
+
+    Args:
+      mel_store: ``[U, T_pad, n_mels]`` store-dtype buffer (donated).
+      f0_store: ``[U, T_pad]`` store-dtype buffer (donated).
+      wavs / lengths / f0_lo / f0_hi / dither_key: as
+        :func:`extract_features_scan` (``[K, B, N]`` / ``[K, B]``).
+      uids: ``[K, B]`` int32 row ids into the store. Rows with
+        ``uid >= U`` are DROPPED (scatter mode="drop") — callers pad
+        staged groups to full depth with repeated batches (see
+        prepare.extract_dir) and mark the padding rows with ``uid = U``
+        so their (different-dither) duplicates never land.
+
+    Returns the updated (mel_store, f0_store).
+    """
+    hop = static.get("hop", 256)
+
+    def body(stores, xs):
+        mel_s, f0_s = stores
+        wav_k, len_k, lo_k, hi_k, uid_k, key_k = xs
+        mel, f0 = _extract_core(wav_k, len_k, lo_k, hi_k, key_k, **static)
+        t = mel.shape[1]
+        frames = len_k // hop + 1
+        keep = jnp.arange(t)[None, :] < frames[:, None]
+        mel = jnp.where(keep[..., None], mel, 0.0).astype(mel_s.dtype)
+        f0 = jnp.where(keep, f0, UNVOICED_LOG_F0).astype(f0_s.dtype)
+        mel_s = mel_s.at[uid_k, :t].set(mel, mode="drop")
+        f0_s = f0_s.at[uid_k, :t].set(f0, mode="drop")
+        return (mel_s, f0_s), 0.0
+
+    k = wavs.shape[0]
+    keys = jax.vmap(lambda i: jax.random.fold_in(dither_key, i))(
+        jnp.arange(k)
+    )
+    (mel_store, f0_store), _ = jax.lax.scan(
+        body,
+        (mel_store, f0_store),
+        (wavs, lengths, f0_lo, f0_hi, uids, keys),
+    )
+    return mel_store, f0_store
+
+
 def frame_count(length: int, hop: int = 256) -> int:
     """Frames produced for a signal of ``length`` samples."""
     return length // hop + 1

@@ -81,6 +81,7 @@ class Solver:
         config: SpeechSplitConfig,
         mesh=None,
         dataset=None,
+        resident=None,
     ):
         self.loader = loader
         self.rc = run_config
@@ -93,17 +94,23 @@ class Solver:
         self.tag = "G" if run_config.model == "speechsplit" else "P"
         self._resident = None
         if run_config.data_on_device:
-            if dataset is None:
-                raise ValueError(
-                    "data_on_device=True requires Solver(dataset=...)"
-                )
             from speechsplit_tpu.config import resolve_dtype
             from speechsplit_tpu.data import resident as resident_lib
 
-            features, speaker_utts = resident_lib.build_resident(
-                dataset, config,
-                store_dtype=resolve_dtype(run_config.resident_dtype),
-            )
+            if resident is not None:
+                # prebuilt store, e.g. build_resident_from_wavs (the
+                # device-direct preprocessing path — cli/train --wav_dir)
+                features, speaker_utts = resident
+            elif dataset is not None:
+                features, speaker_utts = resident_lib.build_resident(
+                    dataset, config,
+                    store_dtype=resolve_dtype(run_config.resident_dtype),
+                )
+            else:
+                raise ValueError(
+                    "data_on_device=True requires Solver(dataset=...) "
+                    "or Solver(resident=(features, speaker_utts))"
+                )
             self._resident = (features, speaker_utts)
             self.train_step = resident_lib.make_resident_train_step(
                 config, self.module, features, mesh, run_config.model

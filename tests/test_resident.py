@@ -186,3 +186,60 @@ def test_resident_step_matches_batch_step(tmp_path):
         np.asarray([float(l3), float(l4)]),
         rtol=1e-6, atol=1e-8,
     )
+
+
+@pytest.mark.slow
+def test_build_resident_from_wavs_matches_disk_path(tmp_path):
+    """Device-direct preprocessing (features scattered into the HBM
+    store, never fetched) is BIT-identical to the archival flow
+    extract_dir(compress_fetch=True) -> .npy -> build_resident for the
+    same seed and a bfloat16 store — batching, dither keys, frame
+    masking and padding all line up."""
+    import os
+    import pickle
+
+    from speechsplit_tpu.data.prepare import build_metadata, extract_dir
+    from speechsplit_tpu.data.resident import build_resident_from_wavs
+    from speechsplit_tpu.data.synthetic import make_corpus
+
+    wav_dir = tmp_path / "wavs"
+    make_corpus(str(wav_dir), 5, n_speakers=2, duration_s=0.6)
+    speakers = sorted(os.listdir(wav_dir))
+    spk2gen = {
+        s: ("M" if i % 2 == 0 else "F") for i, s in enumerate(speakers)
+    }
+    mel_dir, f0_dir = tmp_path / "spmel", tmp_path / "raptf0"
+    # batch_size=2 over 5 utts: jobs [2, 2, 1] -> one full group and one
+    # depth-padded leftover group (exercises the uid-drop scatter rows)
+    extract_dir(
+        str(wav_dir), str(mel_dir), str(f0_dir), spk2gen,
+        batch_size=2, batches_per_dispatch=2, seed=5,
+        compress_fetch=True,
+    )
+    build_metadata(str(mel_dir))
+    with open(mel_dir / "train.pkl", "rb") as fh:
+        meta = pickle.load(fh)
+    dataset = SpeakerDataset(str(mel_dir), str(f0_dir), metadata=meta)
+    cfg = SMALL
+    disk, utts_disk = build_resident(
+        dataset, cfg, store_dtype=jnp.bfloat16
+    )
+    direct, utts_direct = build_resident_from_wavs(
+        str(wav_dir), spk2gen, cfg, store_dtype=jnp.bfloat16,
+        batch_size=2, batches_per_dispatch=2, seed=5,
+    )
+    assert utts_disk == utts_direct
+    np.testing.assert_array_equal(
+        np.asarray(disk.length), np.asarray(direct.length)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(disk.spk_emb), np.asarray(direct.spk_emb)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(disk.mel, np.float32),
+        np.asarray(direct.mel, np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(disk.f0, np.float32),
+        np.asarray(direct.f0, np.float32),
+    )
