@@ -73,6 +73,15 @@ def main(argv=None) -> None:
     from speechsplit_tpu.data.prepare import build_metadata, extract_dir
     from speechsplit_tpu.data.resident import build_resident
 
+    # warm the device link before ANY timing: the first host<->device
+    # transfer of a fresh process on this tunneled platform costs
+    # ~90 s regardless of payload (backend/tunnel session setup) —
+    # leaving it inside stage 1 once misattributed 90 of a "102.6 s"
+    # device-direct run to the data path (the loop itself was ~13 s)
+    import jax.numpy as jnp
+
+    _ = float(jnp.sum(jax.device_put(np.zeros(8, np.float32))))
+
     result: dict = {}
     mel_dir = os.path.join(args.work, "spmel")
     f0_dir = os.path.join(args.work, "raptf0")

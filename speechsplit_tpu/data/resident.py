@@ -188,11 +188,19 @@ def build_resident_from_wavs(
     f0_store = jnp.full((u, t_pad), UNVOICED, store_dtype)
 
     key = jax.random.PRNGKey(seed)
-    for group, k_real in prepare._staged_groups(
-        wav_dir, entries,
-        batch_size=batch_size,
-        batches_per_dispatch=batches_per_dispatch,
-    ):
+
+    def put_group(item):
+        """Stage one group's arrays onto the device ASYNCHRONOUSLY.
+
+        Passing numpy args straight to the jitted scatter transfers
+        them synchronously inside each call, serializing upload with
+        program execution — measured 102.6 s for a 0.68 GB / 10k-utt
+        corpus vs 19.9 s for the same bytes issued as back-to-back
+        device_puts. Explicit puts keep the host link saturated while
+        earlier extraction programs run.
+        """
+        group, k_real = item
+        nonlocal key
         key, sub = jax.random.split(key)
         wavs = np.stack([b for _j, b, _l in group])
         lengths = np.stack([l for _j, _b, l in group])
@@ -219,8 +227,25 @@ def build_resident_from_wavs(
                 for k, (job, _b, _l) in enumerate(group)
             ]
         )
+        return tuple(
+            jax.device_put(x) for x in (wavs, lengths, lo, hi, uids, sub)
+        )
+
+    staged = None
+    for item in prepare._staged_groups(
+        wav_dir, entries,
+        batch_size=batch_size,
+        batches_per_dispatch=batches_per_dispatch,
+    ):
+        nxt = put_group(item)  # upload overlaps the running program
+        if staged is not None:
+            mel_store, f0_store = preprocess.extract_into_store(
+                mel_store, f0_store, *staged
+            )
+        staged = nxt
+    if staged is not None:
         mel_store, f0_store = preprocess.extract_into_store(
-            mel_store, f0_store, wavs, lengths, lo, hi, uids, sub
+            mel_store, f0_store, *staged
         )
 
     features = ResidentFeatures(
