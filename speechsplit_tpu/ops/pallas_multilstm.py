@@ -48,24 +48,62 @@ Array = jax.Array
 _MAX_FOLD = 16
 
 
+def _pad_lane(c: int) -> int:
+    return -(-c // 128) * 128
+
+
+def _ms_vmem_bytes(fold: int, b: int, hs: Sequence[int]) -> float:
+    """Worst-case scoped-VMEM bound for the multi-stream kernels.
+
+    The per-stream sum of pallas_lstm._bd_vmem_bytes UNDERCOUNTS here
+    and caused a real compile-time OOM (B=128: 18.75 MiB actual vs a
+    ~14.2 MiB estimate that skipped the vmem_limit raise): these
+    streams are NARROW (H = 1/8/32), and Mosaic tiles every VMEM block
+    (8, 128), so a [fold, B, H] block occupies ``B_pad x pad128(H)``
+    lanes — up to 128x its nominal bytes for H=1. This bound counts the
+    PADDED footprint of every streamed block (worst-case f32
+    residuals), resident weights and carry scratch, with the same 2x
+    double-buffering guarantee as the merged-bidir bound. Measured
+    check: B=128/fold=16 padded block set = 18.0 MiB vs Mosaic's
+    18.75 MiB actual (~1.04x single-buffered there); 2x keeps the
+    no-OOM guarantee where Mosaic does buffer fully.
+    """
+    sub_b = -(-b // 8) * 8
+    weights = 0.0
+    scratch = 0.0
+    blocks = 0.0  # bytes per fold unit, all streamed blocks, one buffer
+    for h in hs:
+        hp, fhp = _pad_lane(h), _pad_lane(4 * h)
+        hrows = -(-h // 8) * 8
+        for _direction in range(2):
+            weights += hrows * fhp * 4
+            scratch += 2 * sub_b * hp * 4
+            # fwd: xp(f32) + h(f32) + g(resid) + c(resid); bwd streams
+            # the same four widths (dh, g, c, dx) plus [1,B,H] edges —
+            # worst case both residuals at f32 width
+            blocks += sub_b * (fhp * 4 + hp * 4 + fhp * 4 + hp * 4)
+        # bwd c-edge blocks: one [1, B, Hp] per direction
+        scratch += 2 * sub_b * hp * 4
+    return weights + scratch + 2.0 * blocks * fold
+
+
 def _fold_for(t: int, b: int, hs: Sequence[int]) -> int:
-    """Largest fold <= 16 dividing t whose worst-case VMEM bound fits
-    Mosaic's default stack (same policy as pallas_lstm._fold_for; the
-    bound is the sum of the per-stream merged-bidir bounds)."""
+    """Largest fold <= 16 dividing t whose padded worst-case VMEM bound
+    fits Mosaic's default stack (same policy as pallas_lstm._fold_for)."""
     for fold in range(_MAX_FOLD, 0, -1):
-        if t % fold == 0 and sum(
-            pallas_lstm._bd_vmem_bytes(fold, b, h) for h in hs
+        if t % fold == 0 and _ms_vmem_bytes(
+            fold, b, hs
         ) <= 0.95 * pallas_lstm._MOSAIC_DEFAULT_VMEM:
             return fold
     return 1
 
 
 def fits(t: int, b: int, hs: Sequence[int]) -> bool:
-    """Can the multi-stream kernels compile for these shapes? (The
-    encoder group is tiny — ~1.6 MiB at B=128 — so this is effectively
-    always True at sane batches; kept as a guard for exotic configs.)"""
-    return sum(
-        pallas_lstm._bd_vmem_bytes(_fold_for(t, b, hs), b, h) for h in hs
+    """Can the multi-stream kernels compile for these shapes? (~7 MiB
+    at B=128 with the fold _fold_for picks; kept as a guard for exotic
+    configs.)"""
+    return _ms_vmem_bytes(
+        _fold_for(t, b, hs), b, hs
     ) <= 0.9 * pallas_lstm._VMEM_CEILING
 
 
@@ -254,16 +292,11 @@ def _scratch(b, four_hs):
 
 
 def _vmem(fold, b, four_hs):
-    # four_hs alternates (fwd, bwd) per stream and _bd_vmem_bytes
-    # already budgets a full bidirectional pair, so sum per STREAM
-    # (four_hs[::2]) — the same estimate _fold_for/fits use. Summing
-    # all 2n entries double-counted the bound and could request an
-    # unnecessary vmem_limit raise (~5% cost on surrounding ops).
+    # the SAME padded estimate _fold_for/fits use (ADVICE r2 asked for
+    # consistency; the padded bound replaced the per-stream _bd sum
+    # after the B=128 compile OOM — see _ms_vmem_bytes)
     return pallas_lstm._vmem_params(
-        sum(
-            pallas_lstm._bd_vmem_bytes(fold, b, fh // 4)
-            for fh in four_hs[::2]
-        )
+        _ms_vmem_bytes(fold, b, [fh // 4 for fh in four_hs[::2]])
     )
 
 

@@ -175,3 +175,22 @@ def test_f0_converter_fused_path_matches_unfused(rng):
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_plain), atol=1e-5
     )
+
+
+def test_vmem_bound_counts_lane_padding():
+    """Regression for a real Mosaic compile-time OOM at B=128: these
+    encoder streams are narrow (H=1/8/32) and every VMEM block is
+    tiled (8, 128), so a [fold, B, H] block occupies pad128(H) lanes —
+    the per-stream _bd_vmem_bytes sum undercounted by ~4x and skipped
+    the fold reduction (measured: 18.75 MiB actual vs 16 MiB stack at
+    fold=16). The padded bound must reject fold=16 at B=128 and pick a
+    fold that fits the default stack with NO compiler param."""
+    hs = [8, 32, 1]  # content-L0, pitch, rhythm at reference geometry
+    mosaic_default = pallas_lstm._MOSAIC_DEFAULT_VMEM
+    bound = pallas_multilstm._ms_vmem_bytes
+    assert bound(16, 128, hs) > 0.95 * mosaic_default
+    fold = pallas_multilstm._fold_for(192, 128, hs)
+    assert 192 % fold == 0
+    assert bound(fold, 128, hs) <= 0.95 * mosaic_default
+    # the measured reference plan (B=16, fold 16) must be unaffected
+    assert pallas_multilstm._fold_for(192, 16, hs) == 16
