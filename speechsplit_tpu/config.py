@@ -95,6 +95,15 @@ class SpeechSplitConfig:
     matmul_precision: str = "default"
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
+    # speaker conditioning: "onehot" reproduces the reference's fixed
+    # per-speaker one-hot slots (make_metadata.py:20-24); "learned"
+    # adds a jointly-trained utterance-level speaker encoder
+    # (models/encoders.py::SpeakerEncoder) enabling ZERO-SHOT timbre
+    # targets — the upgrade the reference's own make_metadata.py:19
+    # comment anticipates. The embedding width stays dim_spk_emb, so
+    # decoder geometry and checkpoints are unaffected by the mode.
+    spk_emb_mode: str = "onehot"
+    dim_spk_enc: int = 256           # SpeakerEncoder conv channels
 
     # ------------------------------------------------------------------ api
     @property

@@ -34,6 +34,7 @@ from speechsplit_tpu.models.layers import (
     LSTM,
     Conv1d,
     GroupNorm,
+    Linear,
     downsample_codes,
 )
 from speechsplit_tpu.ops.interp import random_resample
@@ -243,3 +244,88 @@ class ContentPitchEncoder(nn.Module):
     def __call__(self, x_f0: Array, train: bool = False):
         x, f0 = self.pre(x_f0, train=train)
         return self.codes(self.lstm_content(x), self.lstm_pitch(f0))
+
+
+class SpeakerEncoder(nn.Module):
+    """Utterance-level speaker (timbre) encoder for zero-shot conversion.
+
+    The reference conditions the decoder on a per-speaker ONE-HOT and
+    its own make_metadata.py:19 notes the upgrade path: "may use
+    generalized speaker embedding for zero-shot conversion". This
+    module is that option, enabled by ``config.spk_emb_mode="learned"``:
+    a conv stack over the un-augmented mel followed by masked mean+std
+    pooling and a linear head, L2-normalized to the unit sphere
+    (one-hots are unit-norm too, so the decoder sees same-scale
+    conditioning either way). Trained jointly with the generator on
+    reconstruction — at conversion time any utterance of an UNSEEN
+    speaker yields a usable timbre code (no metadata slot needed),
+    which the reference's fixed 82-slot one-hot cannot do.
+
+    Every statistic (group normalization AND pooling) is masked by the
+    input's energy mask: the collator zeroes frames past each crop's
+    true length (collator.py), so the embedding of an utterance is
+    EXACTLY invariant to how much zero padding follows it
+    (tests/test_speaker_encoder.py pins this) — unlike the torch-
+    parity GroupNorm used elsewhere, which normalizes over the full
+    padded window. Genuinely all-zero (silent) frames carry no timbre
+    and lose nothing by being dropped.
+
+    All-MXU design: three k5 convs at ``dim_spk_enc`` channels + one
+    dense — no recurrence (an utterance-level code needs no sequential
+    state), so the module adds ~0.8M params and negligible step time.
+    """
+
+    config: SpeechSplitConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: Array) -> Array:
+        cfg = self.config
+        groups = cfg.dim_spk_enc // cfg.chs_grp
+        # energy mask from the INPUT mel (zeroed past the crop length)
+        mask = (
+            jnp.max(mel.astype(jnp.float32), axis=-1, keepdims=True) > 0.0
+        ).astype(jnp.float32)                      # [B, T, 1]
+        frames = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+        h = mel
+        for i in range(3):
+            h = Conv1d(
+                cfg.dim_spk_enc, kernel_size=5, w_init_gain="relu",
+                dtype=self.dtype, name=f"conv_{i}",
+            )(h)
+            # masked group normalization (stats over valid frames only)
+            b, t, c = h.shape
+            hg = h.astype(jnp.float32).reshape(b, t, groups, -1)
+            m = mask[..., None]
+            denom = frames[..., None] * hg.shape[-1]
+            mean = jnp.sum(hg * m, axis=(1, 3), keepdims=True) / denom
+            var = (
+                jnp.sum(jnp.square(hg - mean) * m, axis=(1, 3),
+                        keepdims=True)
+                / denom
+            )
+            hg = (hg - mean) * jax.lax.rsqrt(var + 1e-5) * m
+            scale = self.param(
+                f"scale_{i}", nn.initializers.ones, (c,)
+            )
+            bias = self.param(
+                f"bias_{i}", nn.initializers.zeros, (c,)
+            )
+            h = jax.nn.relu(
+                (hg.reshape(b, t, c) * scale + bias) * mask
+            )
+        h = h.astype(jnp.float32)
+        mean = jnp.sum(h * mask, axis=1) / frames[:, 0]
+        var = (
+            jnp.sum(jnp.square(h - mean[:, None, :]) * mask, axis=1)
+            / frames[:, 0]
+        )
+        stats = jnp.concatenate(
+            [mean, jnp.sqrt(jnp.maximum(var, 1e-8))], axis=-1
+        )
+        emb = Linear(
+            cfg.dim_spk_emb, dtype=self.dtype, name="proj"
+        )(stats).astype(jnp.float32)
+        return emb * jax.lax.rsqrt(
+            jnp.sum(jnp.square(emb), axis=-1, keepdims=True) + 1e-8
+        )

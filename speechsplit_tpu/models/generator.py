@@ -18,6 +18,7 @@ from speechsplit_tpu.models.encoders import (
     ContentPitchEncoder,
     F0Encoder,
     RhythmEncoder,
+    SpeakerEncoder,
 )
 from speechsplit_tpu.models.layers import combine_bidir, upsample_codes
 
@@ -68,11 +69,37 @@ class SpeechSplit(nn.Module):
         )
         self.encoder_rhythm = RhythmEncoder(cfg, dtype=self.dtype)
         self.decoder = MelDecoder(cfg, dtype=self.dtype)
+        if cfg.spk_emb_mode == "learned":
+            # zero-shot timbre conditioning (config.spk_emb_mode); the
+            # param tree only gains this branch in learned mode, so
+            # onehot checkpoints are byte-identical to before
+            self.speaker_encoder = SpeakerEncoder(cfg, dtype=self.dtype)
+
+    def embed_speaker(self, mel: Array) -> Array:
+        """Utterance -> unit-norm speaker embedding (learned mode only).
+
+        Conversion-time entry point: embed ANY utterance of the target
+        speaker (seen or unseen) and pass the result as ``c_trg``:
+        ``module.apply(vars, mel, method="embed_speaker")``.
+        """
+        return self.speaker_encoder(mel)
 
     def __call__(
         self, x_f0: Array, x_org: Array, c_trg: Array, train: bool = False
     ) -> Array:
         cfg = self.config
+        if c_trg.ndim == 3:
+            # a reference MEL was passed instead of an embedding:
+            # derive the timbre code from it (learned mode). Rank
+            # dispatch is static under jit. Training passes the
+            # batch's own x_org here (self-conditioning); conversion
+            # passes the TARGET speaker's utterance — which need not
+            # be the rhythm source x_org.
+            if cfg.spk_emb_mode != "learned":
+                raise ValueError(
+                    "mel-valued c_trg requires spk_emb_mode='learned'"
+                )
+            c_trg = self.speaker_encoder(c_trg)
         batch, t = x_f0.shape[0], x_f0.shape[1]
         if _fuse_encoder_group(
             batch, t, (cfg.dim_neck, cfg.dim_neck_3, cfg.dim_neck_2)

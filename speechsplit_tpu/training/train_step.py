@@ -69,11 +69,18 @@ def create_train_state(
     dtype = resolve_dtype(config.compute_dtype)
     if model == "speechsplit":
         module = SpeechSplit(config, dtype=dtype)
+        # learned mode passes a mel as c_trg so init traces (and
+        # creates params for) the speaker-encoder branch
+        c0 = (
+            jnp.zeros((1, t, config.dim_freq))
+            if config.spk_emb_mode == "learned"
+            else jnp.zeros((1, config.dim_spk_emb))
+        )
         variables = module.init(
             {"params": key, "resample": jax.random.fold_in(key, 1)},
             jnp.zeros((1, t, config.dim_freq + config.dim_f0)),
             jnp.zeros((1, t, config.dim_freq)),
-            jnp.zeros((1, config.dim_spk_emb)),
+            c0,
         )
     elif model == "f0_converter":
         module = F0Converter(config, dtype=dtype)
@@ -137,11 +144,18 @@ def make_train_step_fn(
             batch = _upcast_batch(batch)
             k_aug, k_model = jax.random.split(key)
             x_in = _augment_inputs(config, batch, k_aug)
+            # learned speaker mode self-conditions on the utterance's
+            # own un-augmented mel (rank-3 c_trg -> SpeakerEncoder)
+            c_trg = (
+                batch.mel
+                if config.spk_emb_mode == "learned"
+                else batch.spk_emb
+            )
             mel_out = module.apply(
                 {"params": params},
                 x_in,
                 batch.mel,
-                batch.spk_emb,
+                c_trg,
                 train=True,
                 rngs={"resample": k_model},
             )
@@ -302,11 +316,18 @@ def make_train_step_shard_map(
             batch = _upcast_batch(batch)
             k_aug, k_model = jax.random.split(key)
             x_in = _augment_inputs(config, batch, k_aug)
+            # learned speaker mode self-conditions on the utterance's
+            # own un-augmented mel (rank-3 c_trg -> SpeakerEncoder)
+            c_trg = (
+                batch.mel
+                if config.spk_emb_mode == "learned"
+                else batch.spk_emb
+            )
             mel_out = module.apply(
                 {"params": params},
                 x_in,
                 batch.mel,
-                batch.spk_emb,
+                c_trg,
                 train=True,
                 rngs={"resample": k_model},
             )
