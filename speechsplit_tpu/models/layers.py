@@ -326,6 +326,40 @@ class LSTM(nn.Module):
         use_pallas = self.dtype in (
             jnp.float32, jnp.bfloat16
         ) and pallas_lstm.supported(batch, h)
+        merged = (
+            use_pallas
+            and self.bidirectional
+            and pallas_lstm.merged_bidir_fits(x.shape[1], batch, h)
+        )
+        if merged:
+            # the WHOLE stack runs time-major: one [B,T,.] -> [T,B,.]
+            # layout change in, one out. Projections contract the last
+            # dim, so they cost the same in either layout, while the
+            # per-layer swapaxes of [T,B,4H]/[T,B,2H] tensors each
+            # materialized a real relayout copy (~0.07 ms apiece at the
+            # reference geometry — 9 of them per step for the 3-layer
+            # decoder before this, plus their transposed mirrors in the
+            # backward). Numerics are unchanged: same GEMMs, same
+            # kernel streams, only the relayout points moved.
+            x = jnp.swapaxes(x, 0, 1)
+            for layer in range(start_layer, self.num_layers):
+                in_features = x.shape[-1]
+                p_f = make_params(f"l{layer}", in_features)
+                p_b = make_params(f"l{layer}_reverse", in_features)
+                w_dtype = _recurrent_dtype(self.dtype, h)
+                # both directions advance in ONE kernel grid; all
+                # streams stay in real time order (the kernel's index
+                # maps realize the backward direction — no flips)
+                hs_f, hs_b = pallas_lstm.bilstm_sequence(
+                    project(x, p_f[0], p_f[2]),
+                    project(x, p_b[0], p_b[2]),
+                    p_f[1].astype(w_dtype),
+                    p_b[1].astype(w_dtype),
+                    self.residual_dtype,
+                )
+                x = jnp.concatenate([hs_f, hs_b], axis=-1)
+            return jnp.swapaxes(x, 0, 1)
+
         for layer in range(start_layer, self.num_layers):
             in_features = x.shape[-1]
             if not self.bidirectional:
@@ -338,34 +372,14 @@ class LSTM(nn.Module):
 
             p_f = make_params(f"l{layer}", in_features)
             p_b = make_params(f"l{layer}_reverse", in_features)
-            if use_pallas and pallas_lstm.merged_bidir_fits(
-                x.shape[1], batch, h
-            ):
-                # both directions advance in ONE kernel grid; all
-                # streams stay in real time order (the kernel's index
-                # maps realize the backward direction — no flips)
-                xp_f = project(x, p_f[0], p_f[2])
-                xp_b = project(x, p_b[0], p_b[2])
-                w_dtype = _recurrent_dtype(self.dtype, h)
-                hs_f, hs_b = pallas_lstm.bilstm_sequence(
-                    jnp.swapaxes(xp_f, 0, 1),
-                    jnp.swapaxes(xp_b, 0, 1),
-                    p_f[1].astype(w_dtype),
-                    p_b[1].astype(w_dtype),
-                    self.residual_dtype,
+            outs = [
+                _lstm_direction(
+                    project(x, p[0], p[2]), p[1], reverse,
+                    self.dtype, self.residual_dtype,
                 )
-                x = jnp.swapaxes(
-                    jnp.concatenate([hs_f, hs_b], axis=-1), 0, 1
-                )
-            else:
-                outs = [
-                    _lstm_direction(
-                        project(x, p[0], p[2]), p[1], reverse,
-                        self.dtype, self.residual_dtype,
-                    )
-                    for p, reverse in ((p_f, False), (p_b, True))
-                ]
-                x = jnp.concatenate(outs, axis=-1)
+                for p, reverse in ((p_f, False), (p_b, True))
+            ]
+            x = jnp.concatenate(outs, axis=-1)
         return x
 
 
