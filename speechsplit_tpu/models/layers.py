@@ -342,6 +342,7 @@ class LSTM(nn.Module):
             # backward). Numerics are unchanged: same GEMMs, same
             # kernel streams, only the relayout points moved.
             x = jnp.swapaxes(x, 0, 1)
+            t_len = x.shape[0]
             for layer in range(start_layer, self.num_layers):
                 in_features = x.shape[-1]
                 p_f = make_params(f"l{layer}", in_features)
@@ -350,13 +351,30 @@ class LSTM(nn.Module):
                 # both directions advance in ONE kernel grid; all
                 # streams stay in real time order (the kernel's index
                 # maps realize the backward direction — no flips)
-                hs_f, hs_b = pallas_lstm.bilstm_sequence(
-                    project(x, p_f[0], p_f[2]),
-                    project(x, p_b[0], p_b[2]),
-                    p_f[1].astype(w_dtype),
-                    p_b[1].astype(w_dtype),
-                    self.residual_dtype,
-                )
+                if pallas_lstm.fused_proj_plan(
+                    t_len, batch, h, in_features, w_dtype
+                ):
+                    # input projection runs INSIDE the grid (W_ih
+                    # resident in VMEM, one [fold*B, I] @ [I, 4H]
+                    # matmul per grid step) — the [T, B, 4H] projected
+                    # tensors never round-trip HBM
+                    hs_f, hs_b = pallas_lstm.bilstm_sequence_fused(
+                        x.astype(w_dtype),
+                        p_f[0].astype(w_dtype),
+                        p_b[0].astype(w_dtype),
+                        p_f[2], p_b[2],
+                        p_f[1].astype(w_dtype),
+                        p_b[1].astype(w_dtype),
+                        self.residual_dtype,
+                    )
+                else:
+                    hs_f, hs_b = pallas_lstm.bilstm_sequence(
+                        project(x, p_f[0], p_f[2]),
+                        project(x, p_b[0], p_b[2]),
+                        p_f[1].astype(w_dtype),
+                        p_b[1].astype(w_dtype),
+                        self.residual_dtype,
+                    )
                 x = jnp.concatenate([hs_f, hs_b], axis=-1)
             return jnp.swapaxes(x, 0, 1)
 

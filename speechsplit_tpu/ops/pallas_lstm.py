@@ -814,3 +814,347 @@ def _bd_vjp_bwd(residual_dtype, residuals, grads):
 
 
 bilstm_sequence.defvjp(_bd_vjp_fwd, _bd_vjp_bwd)
+
+
+# ------------------------------------- merged bidir, fused input projection
+#
+# The merged-bidir kernels above consume PRE-projected gate inputs
+# ([T, B, 4H] per direction), so every layer-direction pays a full HBM
+# round trip for that tensor: XLA writes x @ W_ih + b, the kernel
+# streams it back in. At the reference decoder geometry that is a
+# [192, 16, 2048] f32 array (25 MB) written + read per direction per
+# layer, while the layer *input* x is only [192, 16, 1024] — the
+# projection's HBM cost exceeds its MXU cost. These variants move the
+# input projection INSIDE the grid: W_ih joins W_hh resident in VMEM,
+# each grid step projects its whole fold-block as ONE
+# [fold*B, I] @ [I, 4H] MXU matmul (fold is chosen so fold*B fills the
+# 128-row MXU tile), and the x block streams at I lanes instead of 4H.
+# The gradient path is unchanged: the same _bd_bwd_call grad kernel
+# produces d(gates_pre), and dx / dW_ih / db remain one large XLA
+# contraction each — exactly the matmuls the unfused path's projection
+# VJP already performs, so the backward cost is identical and only the
+# forward xp round trips disappear.
+#
+# VMEM: W_ih ([I, 4H]) is the price — e.g. 8 MiB per direction for the
+# mel decoder's upper layers (I=1024, f32), pushing the kernel past
+# Mosaic's 16 MiB default stack into a tight vmem_limit raise (~30
+# MiB; measured <= 24 MiB raises are noise, a blanket 100 MiB costs
+# ~5% on surrounding ops — see the VMEM planning notes at the top).
+# ``fused_proj_plan`` makes the call per shape; PROJ_FUSION pins it
+# for tests and A/B measurement.
+
+
+# "auto": fuse when fused_proj_plan approves; "off": never (also the
+# pin for tests and A/B benchmarks). Default OFF until the fused
+# kernels are validated + measured on hardware (they are currently
+# interpret-mode-verified only; flipping this is the one-line enable).
+PROJ_FUSION = "off"
+
+# Fused-projection VMEM raise ceiling: fusing a layer whose weights push
+# the tight raise beyond this is assumed to cost more in surrounding-op
+# perturbation than the saved xp round trips are worth. Measured on
+# hardware (see BENCHMARKS.md round-3 fused-projection table).
+_FUSED_RAISE_CEILING = 40 * 1024 * 1024
+
+
+def _bdp_vmem_bytes(
+    fold: int, b: int, h: int, i: int, w_bytes: int, x_bytes: int
+) -> float:
+    """Worst-case scoped-VMEM bound for the fused-projection forward
+    kernel: resident weights (W_ih + W_hh, both directions) + 2x the
+    per-grid-step streamed blocks (2 x-blocks at I lanes, h/gates/c
+    outputs as in _bd_vmem_bytes) + carry scratch. The grad kernel has
+    no W_ih and keeps its own (_bd_vmem_bytes) bound."""
+    weights = 2 * (i + h) * (4 * h) * w_bytes
+    # streamed per fold unit: 2 x-blocks (x_bytes wide) in; out: 2 h
+    # (f32), 2 gates (residual, worst-case f32), 2 c (residual)
+    blocks = fold * b * (
+        2 * i * x_bytes + 2 * h * 4 + 2 * (4 * h) * 4 + 2 * h * 4
+    )
+    scratch = 4 * b * h * 4
+    return weights + 2.0 * blocks + scratch
+
+
+def _fold_for_fused(t: int, b: int, h: int, i: int, w_bytes, x_bytes):
+    """Fold for the fused-projection kernels: smallest fold with
+    fold*b >= 128 (a full MXU M-tile for the in-block projection;
+    skinnier folds waste MXU passes), preferring one that divides t and
+    fits the VMEM plan. Returns (fold, bound) or None if nothing fits
+    under the fused raise ceiling."""
+    want = max(1, -(-128 // b))
+    for fold in range(want, 2 * want + 1):
+        if t % fold:
+            continue
+        bound = _bdp_vmem_bytes(fold, b, h, i, w_bytes, x_bytes)
+        if bound <= _FUSED_RAISE_CEILING:
+            return fold, bound
+    # fall back to any dividing fold (large batches: fold 1)
+    for fold in range(want, 0, -1):
+        if t % fold == 0:
+            bound = _bdp_vmem_bytes(fold, b, h, i, w_bytes, x_bytes)
+            if bound <= _FUSED_RAISE_CEILING:
+                return fold, bound
+    return None
+
+
+def fused_proj_plan(t: int, b: int, h: int, i: int, w_dtype) -> bool:
+    """Should the merged-bidir path fuse the input projection for this
+    layer shape? PROJ_FUSION="off" pins it off (tests, A/B); otherwise
+    fuse whenever a full-M-tile fold fits under the raise ceiling. The
+    in-kernel block projection reshapes (fold, B, I) -> (fold*B, I),
+    which needs whole sublane tiles: B must divide by 8 (every
+    supported() batch does — the guard covers exotic callers)."""
+    if PROJ_FUSION == "off" or b % 8:
+        return False
+    w_bytes = 2 if w_dtype == jnp.bfloat16 else 4
+    return _fold_for_fused(t, b, h, i, w_bytes, w_bytes) is not None
+
+
+def _bdp_fwd_kernel(
+    xf_ref, xb_ref, wif_ref, wib_ref, bf_ref, bb_ref, wf_ref, wb_ref,
+    hf_ref, hb_ref, gf_ref, gb_ref, cf_ref, cb_ref,
+    hf_st, cf_st, hb_st, cb_st,
+):
+    """Merged-bidir forward with the input projection in-grid.
+
+    Per grid step: project the whole fold-block of each direction as one
+    [fold*B, I] @ [I, 4H] matmul (W_ih resident), then run the fold's
+    cells exactly as _bd_fwd_kernel (forward rows 0..fold-1, backward
+    rows fold-1..0 on a descending block map)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        for st in (hf_st, cf_st, hb_st, cb_st):
+            st[:] = jnp.zeros_like(st)
+
+    fold, b, i_dim = xf_ref.shape
+
+    def proj(x_ref, wi_ref, b_ref):
+        xp = jnp.dot(
+            x_ref[:].reshape(fold * b, i_dim).astype(wi_ref.dtype),
+            wi_ref[:],
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0]
+        return xp.reshape(fold, b, wi_ref.shape[1])
+
+    xpf = proj(xf_ref, wif_ref, bf_ref)
+    xpb = proj(xb_ref, wib_ref, bb_ref)
+    for k in range(fold):
+        h, c, gates = _cell(xpf[k], wf_ref[:], hf_st[:], cf_st[:])
+        hf_ref[k] = h
+        cf_ref[k] = c.astype(cf_ref.dtype)
+        gf_ref[k] = gates.astype(gf_ref.dtype)
+        hf_st[:], cf_st[:] = h, c
+
+        kb = fold - 1 - k
+        h, c, gates = _cell(xpb[kb], wb_ref[:], hb_st[:], cb_st[:])
+        hb_ref[kb] = h
+        cb_ref[kb] = c.astype(cb_ref.dtype)
+        gb_ref[kb] = gates.astype(gb_ref.dtype)
+        hb_st[:], cb_st[:] = h, c
+
+
+def _bdp_infer_kernel(
+    xf_ref, xb_ref, wif_ref, wib_ref, bf_ref, bb_ref, wf_ref, wb_ref,
+    hf_ref, hb_ref, hf_st, cf_st, hb_st, cb_st,
+):
+    """Lean fused-projection forward (inference path)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        for st in (hf_st, cf_st, hb_st, cb_st):
+            st[:] = jnp.zeros_like(st)
+
+    fold, b, i_dim = xf_ref.shape
+
+    def proj(x_ref, wi_ref, b_ref):
+        xp = jnp.dot(
+            x_ref[:].reshape(fold * b, i_dim).astype(wi_ref.dtype),
+            wi_ref[:],
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0]
+        return xp.reshape(fold, b, wi_ref.shape[1])
+
+    xpf = proj(xf_ref, wif_ref, bf_ref)
+    xpb = proj(xb_ref, wib_ref, bb_ref)
+    for k in range(fold):
+        h, c, _ = _cell(xpf[k], wf_ref[:], hf_st[:], cf_st[:])
+        hf_ref[k] = h
+        hf_st[:], cf_st[:] = h, c
+        kb = fold - 1 - k
+        h, c, _ = _cell(xpb[kb], wb_ref[:], hb_st[:], cb_st[:])
+        hb_ref[kb] = h
+        hb_st[:], cb_st[:] = h, c
+
+
+def _bdp_specs(t, b, i_dim, h_dim, w_i_dtype_bytes, x_bytes):
+    four_h = 4 * h_dim
+    plan = _fold_for_fused(t, b, h_dim, i_dim, w_i_dtype_bytes, x_bytes)
+    assert plan is not None, "caller must check fused_proj_plan first"
+    fold, bound = plan
+    grid = t // fold
+    seq = lambda j: (j, 0, 0)
+    rev = lambda j: (grid - 1 - j, 0, 0)
+    full2 = lambda j: (0, 0)
+    return dict(
+        fold=fold,
+        grid=grid,
+        bound=bound,
+        bxf=pl.BlockSpec((fold, b, i_dim), seq, memory_space=pltpu.VMEM),
+        bxb=pl.BlockSpec((fold, b, i_dim), rev, memory_space=pltpu.VMEM),
+        bhf=pl.BlockSpec((fold, b, h_dim), seq, memory_space=pltpu.VMEM),
+        bhb=pl.BlockSpec((fold, b, h_dim), rev, memory_space=pltpu.VMEM),
+        bgf=pl.BlockSpec((fold, b, four_h), seq, memory_space=pltpu.VMEM),
+        bgb=pl.BlockSpec((fold, b, four_h), rev, memory_space=pltpu.VMEM),
+        blk_wi=pl.BlockSpec(
+            (i_dim, four_h), full2, memory_space=pltpu.VMEM
+        ),
+        blk_b=pl.BlockSpec((1, four_h), full2, memory_space=pltpu.VMEM),
+        blk_w=pl.BlockSpec(
+            (h_dim, four_h), full2, memory_space=pltpu.VMEM
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("residual_dtype",))
+def _bdp_fwd(x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype):
+    t, b, i_dim = x.shape
+    h_dim = w_f.shape[0]
+    four_h = 4 * h_dim
+    s = _bdp_specs(
+        t, b, i_dim, h_dim, wi_f.dtype.itemsize, x.dtype.itemsize
+    )
+    return pl.pallas_call(
+        _bdp_fwd_kernel,
+        grid=(s["grid"],),
+        in_specs=[
+            s["bxf"], s["bxb"], s["blk_wi"], s["blk_wi"],
+            s["blk_b"], s["blk_b"], s["blk_w"], s["blk_w"],
+        ],
+        out_specs=[
+            s["bhf"], s["bhb"], s["bgf"], s["bgb"], s["bhf"], s["bhb"],
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, four_h), residual_dtype),
+            jax.ShapeDtypeStruct((t, b, four_h), residual_dtype),
+            jax.ShapeDtypeStruct((t, b, h_dim), residual_dtype),
+            jax.ShapeDtypeStruct((t, b, h_dim), residual_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
+        ],
+        interpret=FORCE_INTERPRET,
+        compiler_params=_vmem_params(s["bound"]),
+    )(x, x, wi_f, wi_b, b_f[None, :], b_b[None, :], w_f, w_b)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _bdp_infer(x, wi_f, wi_b, b_f, b_b, w_f, w_b):
+    t, b, i_dim = x.shape
+    h_dim = w_f.shape[0]
+    s = _bdp_specs(
+        t, b, i_dim, h_dim, wi_f.dtype.itemsize, x.dtype.itemsize
+    )
+    return pl.pallas_call(
+        _bdp_infer_kernel,
+        grid=(s["grid"],),
+        in_specs=[
+            s["bxf"], s["bxb"], s["blk_wi"], s["blk_wi"],
+            s["blk_b"], s["blk_b"], s["blk_w"], s["blk_w"],
+        ],
+        out_specs=[s["bhf"], s["bhb"]],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
+        ],
+        interpret=FORCE_INTERPRET,
+        compiler_params=_vmem_params(s["bound"]),
+    )(x, x, wi_f, wi_b, b_f[None, :], b_b[None, :], w_f, w_b)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def bilstm_sequence_fused(
+    x: Array,
+    wi_f: Array, wi_b: Array,
+    b_f: Array, b_b: Array,
+    w_f: Array, w_b: Array,
+    residual_dtype=None,
+):
+    """Merged-bidir BiLSTM layer with the input projection fused in-grid.
+
+    x: [T, B, I] layer input in real time order (cast to the compute
+    dtype by the caller — the kernel streams it as-is and casts to
+    W_ih's dtype at the matmul, matching the unfused ``project``).
+    wi_f/wi_b: [I, 4H] input projections; b_f/b_b: [4H] summed biases
+    (b_ih + b_hh); w_f/w_b: [H, 4H] recurrent weights. Returns
+    (h_f [T,B,H], h_b [T,B,H]) in real time order. Numerics match
+    project-then-``bilstm_sequence`` exactly in f32 (same contractions,
+    same cells); callers gate via ``fused_proj_plan``.
+    """
+    return _bdp_infer(x, wi_f, wi_b, b_f, b_b, w_f, w_b)
+
+
+def _bdp_vjp_fwd(x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype):
+    h_f, h_b, g_f, g_b, c_f, c_b = _bdp_fwd(
+        x, wi_f, wi_b, b_f, b_b, w_f, w_b,
+        residual_dtype=_resolve_residual(residual_dtype),
+    )
+    return (h_f, h_b), (
+        g_f, g_b, c_f, c_b, h_f, h_b, x, wi_f, wi_b, w_f, w_b
+    )
+
+
+def _bdp_vjp_bwd(residual_dtype, residuals, grads):
+    g_f, g_b, c_f, c_b, h_f, h_b, x, wi_f, wi_b, w_f, w_b = residuals
+    dh_f, dh_b = grads
+    # same grad kernel as the unfused path — it consumes gate/c
+    # residuals and produces d(gates_pre) per direction
+    dx_f, dx_b = _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b)
+    t, b, four_h = g_f.shape
+    h_dim = four_h // 4
+    i_dim = x.shape[-1]
+
+    def dw_hh(h_slice, dx_slice, w):
+        return jax.lax.dot_general(
+            h_slice.reshape((t - 1) * b, h_dim),
+            dx_slice.reshape((t - 1) * b, four_h),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(w.dtype)
+
+    dw_f = dw_hh(h_f[:-1], dx_f[1:], w_f)
+    dw_b = dw_hh(h_b[1:], dx_b[:-1], w_b)
+
+    # projection grads — the identical contractions the unfused path's
+    # projection VJP performs outside the kernel
+    x2 = x.reshape(t * b, i_dim)
+
+    def dwi(dxp, wi):
+        return jax.lax.dot_general(
+            x2, dxp.reshape(t * b, four_h),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(wi.dtype)
+
+    def dxin(dxp, wi):
+        return jax.lax.dot_general(
+            dxp.reshape(t * b, four_h), wi,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(t, b, i_dim)
+
+    dwi_f, dwi_b = dwi(dx_f, wi_f), dwi(dx_b, wi_b)
+    db_f = dx_f.sum(axis=(0, 1)).astype(jnp.float32)
+    db_b = dx_b.sum(axis=(0, 1)).astype(jnp.float32)
+    dx = (dxin(dx_f, wi_f) + dxin(dx_b, wi_b)).astype(x.dtype)
+    return dx, dwi_f, dwi_b, db_f, db_b, dw_f, dw_b
+
+
+bilstm_sequence_fused.defvjp(_bdp_vjp_fwd, _bdp_vjp_bwd)

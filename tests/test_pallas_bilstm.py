@@ -18,10 +18,12 @@ def _interpret_mode():
 
     pallas_lstm.FORCE_INTERPRET = True
     prev = pallas_lstm.RESIDUAL_DTYPE
+    prev_fuse = pallas_lstm.PROJ_FUSION
     pallas_lstm.RESIDUAL_DTYPE = jnp.float32  # exact-parity comparisons
     yield
     pallas_lstm.FORCE_INTERPRET = False
     pallas_lstm.RESIDUAL_DTYPE = prev
+    pallas_lstm.PROJ_FUSION = prev_fuse
 
 
 def test_bilstm_layer_matches_scan_path(rng):
@@ -139,3 +141,88 @@ def test_bilstm_layer_gradients_match(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5
         )
+
+
+def test_fused_projection_matches_unfused(rng):
+    """bilstm_sequence_fused (projection in-grid) must equal the
+    project-outside + bilstm_sequence path — values, via the full LSTM
+    module so the dispatch in layers.py is what's exercised."""
+    x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+    lstm = LSTM(hidden_size=H, num_layers=2, bidirectional=True)
+    params = lstm.init(jax.random.PRNGKey(4), x)
+
+    pallas_lstm.PROJ_FUSION = "auto"  # plan approves at these shapes
+    assert pallas_lstm.fused_proj_plan(T, B, H, I, jnp.float32)
+    out_fused = lstm.apply(params, x)
+
+    pallas_lstm.PROJ_FUSION = "off"
+    out_unfused = lstm.apply(params, x)
+
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_unfused), atol=1e-5
+    )
+
+
+def test_fused_projection_gradients_match(rng):
+    x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+    lstm = LSTM(hidden_size=H, num_layers=1, bidirectional=True)
+    params = lstm.init(jax.random.PRNGKey(5), x)
+    target = jnp.asarray(rng.randn(B, T, 2 * H).astype(np.float32))
+
+    def loss(p, fuse):
+        pallas_lstm.PROJ_FUSION = fuse
+        try:
+            return jnp.mean(jnp.square(lstm.apply(p, x) - target))
+        finally:
+            pallas_lstm.PROJ_FUSION = "auto"
+
+    g_fused = jax.grad(lambda p: loss(p, "auto"))(params)
+    g_unfused = jax.grad(lambda p: loss(p, "off"))(params)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_unfused)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        )
+
+
+def test_fused_projection_bf16_matches_unfused_bf16(rng):
+    """bfloat16 compute: the fused kernel casts the streamed x block to
+    W_ih's dtype at the matmul, exactly as the unfused project does."""
+    x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+    lstm = LSTM(hidden_size=H, num_layers=1, bidirectional=True,
+                dtype=jnp.bfloat16)
+    params = lstm.init(jax.random.PRNGKey(6), x)
+
+    pallas_lstm.PROJ_FUSION = "auto"
+    out_fused = lstm.apply(params, x)
+    pallas_lstm.PROJ_FUSION = "off"
+    out_unfused = lstm.apply(params, x)
+
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_unfused), atol=1e-5
+    )
+
+
+def test_fused_projection_plan():
+    """Planner shapes: full-M-tile folds, VMEM bounds, batch guard."""
+    from speechsplit_tpu.ops.pallas_lstm import (
+        _bdp_vmem_bytes,
+        _fold_for_fused,
+        fused_proj_plan,
+    )
+
+    # mel decoder upper layers (I=1024, H=512, f32): fold 8 at B=16
+    # (fold*B = 128 = one MXU M-tile), ~34 MiB bound under the ceiling
+    plan = _fold_for_fused(192, 16, 512, 1024, 4, 4)
+    assert plan is not None and plan[0] == 8
+    assert plan[1] < 40 * 2**20
+    assert _fold_for_fused(192, 32, 512, 1024, 4, 4)[0] == 4
+    assert _fold_for_fused(192, 128, 512, 1024, 4, 4)[0] == 1
+    # F0 decoder (H=256): fits Mosaic's default stack, no compiler param
+    for i_dim in (66, 512):
+        fold, bound = _fold_for_fused(192, 16, 256, i_dim, 4, 4)
+        assert fold * 16 >= 128
+        assert bound <= 0.95 * 16 * 2**20
+    # batch guard: sublane-partial batches never fuse
+    pallas_lstm.PROJ_FUSION = "auto"
+    assert not fused_proj_plan(192, 12, 512, 1024, jnp.float32)
+    assert fused_proj_plan(192, 16, 512, 1024, jnp.float32)
