@@ -194,3 +194,52 @@ def test_vmem_bound_counts_lane_padding():
     assert bound(fold, 128, hs) <= 0.95 * mosaic_default
     # the measured reference plan (B=16, fold 16) must be unaffected
     assert pallas_multilstm._fold_for(192, 16, hs) == 16
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("train", [False, True])
+def test_generator_fused_projection_matches_unfused(rng, train):
+    """SpeechSplit forward with PROJ_FUSION='auto' (input projections
+    in-grid wherever the planner approves — decoder layers and
+    post-stream encoder layers) must match PROJ_FUSION='off' exactly,
+    with identical parameter trees."""
+    from speechsplit_tpu.models.generator import SpeechSplit
+
+    cfg = _tiny_config()
+    b, t = 8, 32
+    model = SpeechSplit(cfg)
+    x_f0 = jnp.asarray(
+        rng.rand(b, t, cfg.dim_freq + cfg.dim_f0).astype(np.float32)
+    )
+    x_org = jnp.asarray(rng.rand(b, t, cfg.dim_freq).astype(np.float32))
+    c_trg = jnp.asarray(rng.rand(b, cfg.dim_spk_emb).astype(np.float32))
+    rngs = {"params": jax.random.PRNGKey(0),
+            "resample": jax.random.PRNGKey(1)}
+
+    prev = pallas_lstm.PROJ_FUSION
+    pallas_lstm.PROJ_FUSION = "auto"
+    try:
+        params_fused = model.init(rngs, x_f0, x_org, c_trg, train=train)
+        out_fused = model.apply(
+            params_fused, x_f0, x_org, c_trg, train=train,
+            rngs={"resample": jax.random.PRNGKey(1)},
+        )
+    finally:
+        pallas_lstm.PROJ_FUSION = prev
+
+    params_plain = model.init(rngs, x_f0, x_org, c_trg, train=train)
+    out_plain = model.apply(
+        params_plain, x_f0, x_org, c_trg, train=train,
+        rngs={"resample": jax.random.PRNGKey(1)},
+    )
+
+    assert jax.tree.structure(params_fused) == jax.tree.structure(
+        params_plain
+    )
+    for a, b_ in zip(
+        jax.tree.leaves(params_fused), jax.tree.leaves(params_plain)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_plain), atol=1e-5
+    )
