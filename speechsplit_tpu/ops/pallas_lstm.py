@@ -380,10 +380,30 @@ def _vjp_fwd(x_proj, w_hh, residual_dtype, reverse):
     return h, (gates, c, h, w_hh)
 
 
+def _dw_contract(h_slice, dx_slice, w, residual_dtype):
+    """dW = h_prev^T @ d(gates_pre) over flattened (T-1, B) rows.
+
+    Contraction inputs are cast to the resolved residual dtype: in the
+    default bf16-residual mode the gates that PRODUCED dx_slice are
+    already bf16-rounded, so rounding the contraction inputs adds error
+    of the same order while moving the two largest backward matmuls
+    from the f32 to the bf16 MXU path (profiled at ~0.55 ms/step
+    combined at reference geometry, ~f32 peak). Accumulation stays f32
+    (preferred_element_type). residual_dtype=float32 keeps the whole
+    path bit-identical to the scan backward — the exactness escape
+    hatch and the parity-test mode."""
+    rd = _resolve_residual(residual_dtype)
+    n = h_slice.shape[0] * h_slice.shape[1]
+    return jax.lax.dot_general(
+        h_slice.reshape(n, h_slice.shape[-1]).astype(rd),
+        dx_slice.reshape(n, dx_slice.shape[-1]).astype(rd),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)  # cotangent dtype must match the primal
+
+
 def _vjp_bwd(residual_dtype, reverse, residuals, dh_out):
     gates, c, h, w_hh = residuals
-    t, b, four_h = gates.shape
-    h_dim = four_h // 4
     dxp = _bwd_call(dh_out, gates, c, w_hh, reverse=reverse)
     # dW_hh = sum_t h_prev[t]^T @ dxp[t] as one large contraction over
     # contiguous slices (processing predecessor: t-1 fwd / t+1 reverse)
@@ -391,14 +411,8 @@ def _vjp_bwd(residual_dtype, reverse, residuals, dh_out):
         h_sl, dx_sl = h[1:], dxp[:-1]
     else:
         h_sl, dx_sl = h[:-1], dxp[1:]
-    dwhh = jax.lax.dot_general(
-        h_sl.reshape((t - 1) * b, h_dim),
-        dx_sl.reshape((t - 1) * b, four_h),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # custom_vjp cotangents must match primal dtypes (w_hh may be bf16)
-    return dxp, dwhh.astype(w_hh.dtype)
+    dwhh = _dw_contract(h_sl, dx_sl, w_hh, residual_dtype)
+    return dxp, dwhh
 
 
 lstm_sequence.defvjp(_vjp_fwd, _vjp_bwd)
@@ -792,24 +806,14 @@ def _bd_vjp_bwd(residual_dtype, residuals, grads):
     dx_f, dx_b = _bd_bwd_call(
         dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b
     )
-    t, b, four_h = g_f.shape
-    h_dim = four_h // 4
-
     # dW_hh = sum_t h_prev[t]^T dxp[t]; with everything in real time
     # order the predecessor is h[t-1] for the forward direction and
     # h[t+1] for the backward one, so both contractions consume
     # CONTIGUOUS slices (the old concat-a-zero-row _shift materialized
-    # a full [T, B, H] copy per direction per layer)
-    def dw(h_slice, dx_slice, w):
-        return jax.lax.dot_general(
-            h_slice.reshape((t - 1) * b, h_dim),
-            dx_slice.reshape((t - 1) * b, four_h),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(w.dtype)  # cotangent dtype must match the primal
-
-    dw_f = dw(h_f[:-1], dx_f[1:], w_f)
-    dw_b = dw(h_b[1:], dx_b[:-1], w_b)
+    # a full [T, B, H] copy per direction per layer); inputs cast to
+    # the residual dtype (see _dw_contract)
+    dw_f = _dw_contract(h_f[:-1], dx_f[1:], w_f, residual_dtype)
+    dw_b = _dw_contract(h_b[1:], dx_b[:-1], w_b, residual_dtype)
     return dx_f, dx_b, dw_f, dw_b
 
 
@@ -1121,27 +1125,14 @@ def _bdp_vjp_bwd(residual_dtype, residuals, grads):
     h_dim = four_h // 4
     i_dim = x.shape[-1]
 
-    def dw_hh(h_slice, dx_slice, w):
-        return jax.lax.dot_general(
-            h_slice.reshape((t - 1) * b, h_dim),
-            dx_slice.reshape((t - 1) * b, four_h),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(w.dtype)
+    dw_f = _dw_contract(h_f[:-1], dx_f[1:], w_f, residual_dtype)
+    dw_b = _dw_contract(h_b[1:], dx_b[:-1], w_b, residual_dtype)
 
-    dw_f = dw_hh(h_f[:-1], dx_f[1:], w_f)
-    dw_b = dw_hh(h_b[1:], dx_b[:-1], w_b)
-
-    # projection grads — the identical contractions the unfused path's
-    # projection VJP performs outside the kernel
-    x2 = x.reshape(t * b, i_dim)
-
+    # projection grads — the same contractions the unfused path's
+    # projection VJP performs outside the kernel, with dW_ih inputs at
+    # the residual dtype like dW_hh (see _dw_contract)
     def dwi(dxp, wi):
-        return jax.lax.dot_general(
-            x2, dxp.reshape(t * b, four_h),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(wi.dtype)
+        return _dw_contract(x, dxp, wi, residual_dtype)
 
     def dxin(dxp, wi):
         return jax.lax.dot_general(

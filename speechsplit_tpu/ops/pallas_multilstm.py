@@ -419,21 +419,18 @@ def _vjp_bwd(n, residual_dtype, residuals, dh):
     dx = _bwd_call(n, *dh, *g, *c, *c, *w)
     dws = []
     for d in range(2 * n):
-        t, b, four_h = g[d].shape
-        h_dim = four_h // 4
         # dW_hh over contiguous slices: the processing-order
-        # predecessor is t-1 for forward directions, t+1 for backward
+        # predecessor is t-1 for forward directions, t+1 for backward;
+        # contraction inputs at the residual dtype (pallas_lstm.
+        # _dw_contract — f32 residuals keep the path bit-exact)
         if d % 2 == 0:
             h_sl, dx_sl = h[d][:-1], dx[d][1:]
         else:
             h_sl, dx_sl = h[d][1:], dx[d][:-1]
         dws.append(
-            jax.lax.dot_general(
-                h_sl.reshape((t - 1) * b, h_dim),
-                dx_sl.reshape((t - 1) * b, four_h),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(w[d].dtype)
+            pallas_lstm._dw_contract(
+                h_sl, dx_sl, w[d], residual_dtype
+            )
         )
     return (*dx, *dws)
 
