@@ -226,3 +226,31 @@ def test_fused_projection_plan():
     pallas_lstm.PROJ_FUSION = "auto"
     assert not fused_proj_plan(192, 12, 512, 1024, jnp.float32)
     assert fused_proj_plan(192, 16, 512, 1024, jnp.float32)
+
+
+def test_fused_projection_bf16_residual_grads_close(rng):
+    """Default bf16-residual mode through the fused-projection op: all
+    parameter gradients (incl. the in-kernel projection's dW_ih/db, now
+    contracted with bf16 inputs) stay within mixed-precision tolerance
+    of the exact f32-residual path."""
+    x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+    lstm = LSTM(hidden_size=H, num_layers=1, bidirectional=True,
+                residual_dtype=jnp.float32)
+    lstm_bf = LSTM(hidden_size=H, num_layers=1, bidirectional=True,
+                   residual_dtype=jnp.bfloat16)
+    params = lstm.init(jax.random.PRNGKey(7), x)
+    target = jnp.asarray(rng.randn(B, T, 2 * H).astype(np.float32))
+
+    pallas_lstm.PROJ_FUSION = "auto"
+
+    def loss(module):
+        return lambda p: jnp.mean(
+            jnp.square(module.apply(p, x) - target)
+        )
+
+    g_exact = jax.grad(loss(lstm))(params)
+    g_bf16 = jax.grad(loss(lstm_bf))(params)
+    for a, b in zip(jax.tree.leaves(g_exact), jax.tree.leaves(g_bf16)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / denom < 0.02
