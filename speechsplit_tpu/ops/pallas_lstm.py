@@ -1122,7 +1122,6 @@ def _bdp_vjp_bwd(residual_dtype, residuals, grads):
     # residuals and produces d(gates_pre) per direction
     dx_f, dx_b = _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b)
     t, b, four_h = g_f.shape
-    h_dim = four_h // 4
     i_dim = x.shape[-1]
 
     dw_f = _dw_contract(h_f[:-1], dx_f[1:], w_f, residual_dtype)
