@@ -70,7 +70,7 @@ def main(argv=None) -> None:
             )
             step = make_train_step(config, module)  # already jitted
             key = jax.random.PRNGKey(1)
-            for _ in range(args.warmup):
+            for _ in range(max(args.warmup, 1)):  # >=1: 'loss' fences
                 state, loss = step(state, batch, key)
             float(loss)  # fence: compile + warmup complete
             t0 = time.perf_counter()

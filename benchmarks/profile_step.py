@@ -52,12 +52,15 @@ def classify(name: str) -> str:
 
 
 def parse_trace(trace_dir: str, steps: int, top: int) -> None:
+    # newest trace, not largest: each capture writes a fresh timestamped
+    # subdir under the (possibly reused) trace dir, and picking by size
+    # can silently select a stale run with a different step count
     paths = sorted(
         glob.glob(
             os.path.join(trace_dir, "**", "*.trace.json.gz"),
             recursive=True,
         ),
-        key=os.path.getsize,
+        key=os.path.getmtime,
     )
     if not paths:
         raise SystemExit(f"no *.trace.json.gz under {trace_dir}")
@@ -70,9 +73,16 @@ def parse_trace(trace_dir: str, steps: int, top: int) -> None:
     # device lanes: processes whose name mentions the accelerator; fall
     # back to every non-python lane if none match (CPU-backend traces)
     pid_names = {}
+    tid_names = {}
     for ev in events:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
             pid_names[ev["pid"]] = ev["args"].get("name", "")
+        elif ev.get("name") == "thread_name":
+            tid_names[(ev["pid"], ev.get("tid"))] = ev["args"].get(
+                "name", ""
+            )
     device_pids = {
         pid
         for pid, name in pid_names.items()
@@ -80,8 +90,19 @@ def parse_trace(trace_dir: str, steps: int, top: int) -> None:
         and not re.search(r"python|host", name, re.I)
     }
     if not device_pids:
+        log("WARNING: no device-named lanes; summing ALL lanes "
+            "(host time included)")
         device_pids = set(pid_names)
-    log(f"device lanes: {sorted(pid_names[p] for p in device_pids)}")
+    # within a device pid, restrict to the op-level thread when the
+    # profiler provides named threads: module/step-level lanes span the
+    # ops they contain and would double-count every duration
+    op_tids = {
+        key
+        for key, name in tid_names.items()
+        if key[0] in device_pids and re.search(r"ops", name, re.I)
+    }
+    log(f"device lanes: {sorted(pid_names[p] for p in device_pids)}; "
+        f"op threads: {sorted(tid_names[k] for k in op_tids) or 'all'}")
 
     by_class = collections.Counter()
     n_by_class = collections.Counter()
@@ -89,6 +110,8 @@ def parse_trace(trace_dir: str, steps: int, top: int) -> None:
     total = 0.0
     for ev in events:
         if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+            continue
+        if op_tids and (ev["pid"], ev.get("tid")) not in op_tids:
             continue
         name = ev.get("name", "")
         dur = ev.get("dur", 0)  # microseconds
@@ -117,8 +140,10 @@ def main(argv=None) -> None:
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--fusion", default="auto",
-                    help="pallas_lstm.PROJ_FUSION pin (off|auto)")
+    ap.add_argument("--fusion", default="off",
+                    help="pallas_lstm.PROJ_FUSION pin (off|auto); "
+                    "default matches the production default so a bare "
+                    "run profiles what training runs")
     ap.add_argument("--trace_dir", default="/tmp/profile_step")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--parse_only", default="",
@@ -165,7 +190,8 @@ def main(argv=None) -> None:
     for _ in range(3):
         state, loss = step(state, batch, key)
     float(loss)  # fence: compiled and warm
-    log(f"warm; tracing {args.steps} steps -> {args.trace_dir}")
+    log(f"warm (batch {args.batch} {args.dtype} fusion={args.fusion}); "
+        f"tracing {args.steps} steps -> {args.trace_dir}")
 
     with profile_trace(args.trace_dir):
         for _ in range(args.steps):

@@ -867,16 +867,20 @@ def _bdp_vmem_bytes(
     """Worst-case scoped-VMEM bound for the fused-projection forward
     kernel: resident weights (W_ih + W_hh, both directions) + 2x the
     per-grid-step streamed blocks (2 x-blocks at I lanes, h/gates/c
-    outputs as in _bd_vmem_bytes) + carry scratch. The grad kernel has
-    no W_ih and keeps its own (_bd_vmem_bytes) bound."""
+    outputs as in _bd_vmem_bytes) + the in-kernel projected gate
+    temporaries (xpf/xpb, [fold*B, 4H] f32 values the kernel
+    materializes before the cell loop — NOT streamed, so single-
+    buffered) + carry scratch. The grad kernel has no W_ih and keeps
+    its own (_bd_vmem_bytes) bound."""
     weights = 2 * (i + h) * (4 * h) * w_bytes
     # streamed per fold unit: 2 x-blocks (x_bytes wide) in; out: 2 h
     # (f32), 2 gates (residual, worst-case f32), 2 c (residual)
     blocks = fold * b * (
         2 * i * x_bytes + 2 * h * 4 + 2 * (4 * h) * 4 + 2 * h * 4
     )
+    proj_tmp = 2 * fold * b * (4 * h) * 4
     scratch = 4 * b * h * 4
-    return weights + 2.0 * blocks + scratch
+    return weights + 2.0 * blocks + proj_tmp + scratch
 
 
 def _fold_for_fused(t: int, b: int, h: int, i: int, w_bytes, x_bytes):
@@ -906,12 +910,29 @@ def fused_proj_plan(t: int, b: int, h: int, i: int, w_dtype) -> bool:
     layer shape? PROJ_FUSION="off" pins it off (tests, A/B); otherwise
     fuse whenever a full-M-tile fold fits under the raise ceiling. The
     in-kernel block projection reshapes (fold, B, I) -> (fold*B, I),
-    which needs whole sublane tiles: B must divide by 8 (every
-    supported() batch does — the guard covers exotic callers)."""
-    if PROJ_FUSION == "off" or b % 8:
-        return False
+    which needs whole sublane tiles in the x block's dtype: B must
+    divide the tile's sublane count — 8 for 4-byte elements, 16 for
+    2-byte (bf16 tiles are (16, 128))."""
     w_bytes = 2 if w_dtype == jnp.bfloat16 else 4
+    sublanes = 16 if w_bytes == 2 else 8
+    if PROJ_FUSION == "off" or b % sublanes:
+        return False
     return _fold_for_fused(t, b, h, i, w_bytes, w_bytes) is not None
+
+
+def _proj(x_ref, wi_ref, b_ref):
+    """In-grid input projection: the whole fold-block as ONE
+    [fold*B, I] @ [I, 4H] matmul (x cast to W_ih's dtype, f32
+    accumulate + f32 bias add — exactly the unfused ``project``).
+    Shared by the fused fwd and infer kernels so train/inference
+    numerics cannot desynchronize."""
+    fold, b, i_dim = x_ref.shape
+    xp = jnp.dot(
+        x_ref[:].reshape(fold * b, i_dim).astype(wi_ref.dtype),
+        wi_ref[:],
+        preferred_element_type=jnp.float32,
+    ) + b_ref[0]
+    return xp.reshape(fold, b, wi_ref.shape[1])
 
 
 def _bdp_fwd_kernel(
@@ -932,18 +953,9 @@ def _bdp_fwd_kernel(
         for st in (hf_st, cf_st, hb_st, cb_st):
             st[:] = jnp.zeros_like(st)
 
-    fold, b, i_dim = xf_ref.shape
-
-    def proj(x_ref, wi_ref, b_ref):
-        xp = jnp.dot(
-            x_ref[:].reshape(fold * b, i_dim).astype(wi_ref.dtype),
-            wi_ref[:],
-            preferred_element_type=jnp.float32,
-        ) + b_ref[0]
-        return xp.reshape(fold, b, wi_ref.shape[1])
-
-    xpf = proj(xf_ref, wif_ref, bf_ref)
-    xpb = proj(xb_ref, wib_ref, bb_ref)
+    fold = xf_ref.shape[0]
+    xpf = _proj(xf_ref, wif_ref, bf_ref)
+    xpb = _proj(xb_ref, wib_ref, bb_ref)
     for k in range(fold):
         h, c, gates = _cell(xpf[k], wf_ref[:], hf_st[:], cf_st[:])
         hf_ref[k] = h
@@ -971,18 +983,9 @@ def _bdp_infer_kernel(
         for st in (hf_st, cf_st, hb_st, cb_st):
             st[:] = jnp.zeros_like(st)
 
-    fold, b, i_dim = xf_ref.shape
-
-    def proj(x_ref, wi_ref, b_ref):
-        xp = jnp.dot(
-            x_ref[:].reshape(fold * b, i_dim).astype(wi_ref.dtype),
-            wi_ref[:],
-            preferred_element_type=jnp.float32,
-        ) + b_ref[0]
-        return xp.reshape(fold, b, wi_ref.shape[1])
-
-    xpf = proj(xf_ref, wif_ref, bf_ref)
-    xpb = proj(xb_ref, wib_ref, bb_ref)
+    fold = xf_ref.shape[0]
+    xpf = _proj(xf_ref, wif_ref, bf_ref)
+    xpb = _proj(xb_ref, wib_ref, bb_ref)
     for k in range(fold):
         h, c, _ = _cell(xpf[k], wf_ref[:], hf_st[:], cf_st[:])
         hf_ref[k] = h

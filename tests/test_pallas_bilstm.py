@@ -186,13 +186,17 @@ def test_fused_projection_gradients_match(rng):
 
 def test_fused_projection_bf16_matches_unfused_bf16(rng):
     """bfloat16 compute: the fused kernel casts the streamed x block to
-    W_ih's dtype at the matmul, exactly as the unfused project does."""
-    x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+    W_ih's dtype at the matmul, exactly as the unfused project does.
+    Batch 16 — bf16 x blocks tile at (16, 128) sublanes, so the planner
+    requires B % 16 == 0 (B=8 would silently skip the fused path)."""
+    x = jnp.asarray(rng.randn(16, T, I).astype(np.float32))
     lstm = LSTM(hidden_size=H, num_layers=1, bidirectional=True,
                 dtype=jnp.bfloat16)
     params = lstm.init(jax.random.PRNGKey(6), x)
 
     pallas_lstm.PROJ_FUSION = "auto"
+    assert pallas_lstm.fused_proj_plan(T, 16, H, I, jnp.bfloat16)
+    assert not pallas_lstm.fused_proj_plan(T, 8, H, I, jnp.bfloat16)
     out_fused = lstm.apply(params, x)
     pallas_lstm.PROJ_FUSION = "off"
     out_unfused = lstm.apply(params, x)
