@@ -35,19 +35,27 @@ from speechsplit_tpu.preprocess import (
 )
 
 
+def _pcm_to_float(data: np.ndarray) -> np.ndarray:
+    """Integer PCM -> float32 in [-1, 1]; the dtype check happens
+    BEFORE any channel averaging (which silently promotes to float64
+    and would skip the scaling — int PCM values ±2^15/±2^31 would
+    otherwise flow through as 'float' amplitudes)."""
+    if data.dtype == np.int16:
+        data = data / 32768.0
+    elif data.dtype == np.int32:
+        data = data / 2147483648.0
+    if data.ndim > 1:
+        data = data.mean(axis=1)
+    return data.astype(np.float32)
+
+
 def read_wav(path: str, expect_rate: int = 16000) -> np.ndarray:
     """Decode a wav file to float32 in [-1, 1] (reference asserts 16 kHz,
     make_spect_f0.py:51)."""
     rate, data = wavfile.read(path)
     if rate != expect_rate:
         raise ValueError(f"{path}: sample rate {rate} != {expect_rate}")
-    if data.ndim > 1:
-        data = data.mean(axis=1)
-    if data.dtype == np.int16:
-        return (data / 32768.0).astype(np.float32)
-    if data.dtype == np.int32:
-        return (data / 2147483648.0).astype(np.float32)
-    return data.astype(np.float32)
+    return _pcm_to_float(data)
 
 
 def read_wav_pcm(path: str, expect_rate: int = 16000) -> np.ndarray:
@@ -57,18 +65,14 @@ def read_wav_pcm(path: str, expect_rate: int = 16000) -> np.ndarray:
     (preprocess._extract_core), so feeding raw PCM halves the
     host->device upload — the dominant byte stream of end-to-end
     preprocessing (wavs are hop*~3.2x larger than the bf16 features
-    coming back). Falls back to float32 for any other encoding.
+    coming back). Falls back to scaled float32 for any other encoding.
     """
     rate, data = wavfile.read(path)
     if rate != expect_rate:
         raise ValueError(f"{path}: sample rate {rate} != {expect_rate}")
     if data.ndim == 1 and data.dtype == np.int16:
         return data
-    if data.ndim > 1:
-        data = data.mean(axis=1)
-    if data.dtype == np.int32:
-        return (data / 2147483648.0).astype(np.float32)
-    return data.astype(np.float32)
+    return _pcm_to_float(data)
 
 
 def wav_frame_count(path: str, hop: int = 256) -> int:
@@ -314,6 +318,10 @@ def extract_dir(
             mel_host = mel_host.astype(np.float32)
             f0_host = f0_host.astype(np.float32)
         write_group(group, mel_host, f0_host)
+        # backpressure: a slow/contended disk must stall the fetch loop,
+        # not queue the whole corpus's features in pending futures
+        while len(write_futures) > 16 * writer_threads:
+            write_futures.pop(0).result()
 
     for group, k_real in _staged_groups(
         wav_dir, entries,

@@ -399,6 +399,13 @@ def make_resident_train_step(
     feat_shardings = ResidentFeatures(
         mel=repl, f0=repl, spk_emb=repl, length=repl
     )
+    # replicate the store across the mesh ONCE here — passing the
+    # original single-device arrays into the jit would re-pay the
+    # full-corpus broadcast on EVERY dispatch (in_shardings reshards
+    # per call and discards the resharded copy afterwards)
+    features = jax.tree.map(
+        lambda a, s: jax.device_put(a, s), features, feat_shardings
+    )
     jitted = jax.jit(
         dispatch,
         in_shardings=(feat_shardings, repl, plan_shardings, repl),

@@ -910,9 +910,9 @@ def fused_proj_plan(t: int, b: int, h: int, i: int, w_dtype) -> bool:
     layer shape? PROJ_FUSION="off" pins it off (tests, A/B); otherwise
     fuse whenever a full-M-tile fold fits under the raise ceiling. The
     in-kernel block projection reshapes (fold, B, I) -> (fold*B, I),
-    which needs whole sublane tiles in the x block's dtype: B must
-    divide the tile's sublane count — 8 for 4-byte elements, 16 for
-    2-byte (bf16 tiles are (16, 128))."""
+    which needs whole sublane tiles in the x block's dtype: B must be
+    a MULTIPLE of the tile's sublane count — 8 for 4-byte elements,
+    16 for 2-byte (bf16 tiles are (16, 128))."""
     w_bytes = 2 if w_dtype == jnp.bfloat16 else 4
     sublanes = 16 if w_bytes == 2 else 8
     if PROJ_FUSION == "off" or b % sublanes:

@@ -335,5 +335,12 @@ def pad_batch(
     )
     out = np.zeros((len(wavs), n), dtype)
     for i, w in enumerate(wavs):
-        out[i, : len(w)] = w
+        if dtype == np.float32 and w.dtype == np.int16:
+            # mixed batch fell back to float32: scale the PCM16 rows
+            # here — the device extractor only rescales whole-int16
+            # batches, so raw +-32768 samples would otherwise flow
+            # through as float amplitudes
+            out[i, : len(w)] = w / np.float32(32768.0)
+        else:
+            out[i, : len(w)] = w
     return out, lengths

@@ -285,6 +285,14 @@ class Solver:
             quantize_f0_onehot(jnp.asarray(f0_pad), cfg.dim_f0 - 1)
         )[None]
         x_f0 = np.concatenate([x_pad, f0_onehot], axis=-1)
+        if cfg.spk_emb_mode == "learned":
+            # the decoder was trained on SpeakerEncoder(mel) embeddings
+            # (train_step passes batch.mel as c_trg); conditioning
+            # validation on the stored one-hot would feed a vector from
+            # the wrong distribution and silently score garbage — pass
+            # the utterance mel (rank 3) so the generator's learned-mode
+            # dispatch embeds it the same way training does
+            return x_f0, x_pad, x_pad
         return x_f0, x_pad, emb
 
     def validate(self) -> float:

@@ -177,3 +177,51 @@ def test_lazy_dataset(prepared_dataset):
     np.testing.assert_array_equal(np.asarray(mel0), e_mel0)
     np.testing.assert_array_equal(mel0[2:5], e_mel0[2:5])
     np.testing.assert_array_equal(np.asarray(f00), e_f00)
+
+
+def test_read_wav_scales_stereo_and_int(tmp_path):
+    """Integer PCM must be scaled to [-1, 1] BEFORE channel averaging
+    (the mean promotes to float64 and used to skip the dtype-based
+    scaling, letting +-32768-scale amplitudes through), on both the
+    float and the PCM-preserving reader."""
+    from scipy.io import wavfile
+
+    from speechsplit_tpu.data.prepare import read_wav_pcm
+
+    mono = (_tone(150.0, FS) * 32767).astype(np.int16)
+    stereo = np.stack([mono, mono], axis=1)
+    wavfile.write(tmp_path / "st.wav", FS, stereo)
+    for reader in (read_wav, read_wav_pcm):
+        back = reader(str(tmp_path / "st.wav"))
+        assert back.dtype == np.float32
+        assert np.abs(back).max() <= 1.0
+        assert np.abs(back).max() > 0.4  # scaled, not silenced
+
+    # mono int16 stays raw PCM on the pcm reader, scaled on read_wav
+    wavfile.write(tmp_path / "mo.wav", FS, mono)
+    assert read_wav_pcm(str(tmp_path / "mo.wav")).dtype == np.int16
+    assert np.abs(read_wav(str(tmp_path / "mo.wav"))).max() <= 1.0
+
+
+def test_prepare_val_inputs_learned_mode():
+    """spk_emb_mode='learned': validation must condition on the
+    utterance mel (rank 3, embedded by the generator's learned-mode
+    dispatch), never the stored one-hot the model never trained on."""
+    from speechsplit_tpu.config import SpeechSplitConfig
+    from speechsplit_tpu.training.solver import Solver
+
+    entry = [
+        "p226",
+        np.eye(1, 82, 1, dtype=np.float32)[0],
+        (np.random.RandomState(0).rand(40, 80).astype(np.float32),
+         np.linspace(0, 1, 40), 40, "uid"),
+    ]
+    for mode in ("onehot", "learned"):
+        solver = Solver.__new__(Solver)  # config-only unit probe
+        solver.config = SpeechSplitConfig(spk_emb_mode=mode)
+        x_f0, x_pad, emb = solver._prepare_val_inputs(entry)
+        if mode == "onehot":
+            np.testing.assert_array_equal(emb, entry[1])
+        else:
+            assert np.asarray(emb).ndim == 3
+            np.testing.assert_array_equal(emb, x_pad)

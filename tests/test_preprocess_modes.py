@@ -159,5 +159,12 @@ def test_pad_batch_preserves_pcm16():
     batch, lengths = pad_batch(i)
     assert batch.dtype == np.int16
     assert list(lengths) == [100, 160]
-    mixed, _ = pad_batch([np.ones(10, np.int16), np.ones(10, np.float32)])
+    # a mixed batch falls back to float32 AND scales the PCM16 rows —
+    # the device extractor only rescales whole-int16 batches, so raw
+    # +-32768 samples must never reach a float batch
+    mixed, _ = pad_batch(
+        [np.full(10, 16384, np.int16), np.full(10, 0.25, np.float32)]
+    )
     assert mixed.dtype == np.float32
+    np.testing.assert_allclose(mixed[0, :10], 0.5)
+    np.testing.assert_allclose(mixed[1, :10], 0.25)
