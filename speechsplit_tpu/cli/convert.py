@@ -81,6 +81,7 @@ def main(argv=None) -> None:
         convert_batched,
         load_demo_metadata,
         utterance_from_metadata,
+        with_learned_embedding,
     )
     from speechsplit_tpu.models import F0Converter, SpeechSplit
 
@@ -95,6 +96,11 @@ def main(argv=None) -> None:
     from speechsplit_tpu.config import resolve_dtype
 
     dtype = resolve_dtype(config.compute_dtype)
+    # learned-mode checkpoints: zero-shot timbre targets from the
+    # utterances' own mels (no-op for one-hot configs)
+    g_embed = SpeechSplit(config, dtype=dtype)
+    src = with_learned_embedding(config, g_embed, g_params, src)
+    trg = with_learned_embedding(config, g_embed, g_params, trg)
     # all conditions in one batched device call
     results = convert_batched(
         SpeechSplit(config, dtype=dtype), g_params,

@@ -76,6 +76,33 @@ def prepare_utterance(
 
 
 @functools.partial(jax.jit, static_argnames=("module",))
+def _embed_speaker_jit(module, params, mel):
+    return module.apply({"params": params}, mel, method="embed_speaker")
+
+
+def with_learned_embedding(
+    config: SpeechSplitConfig,
+    module: SpeechSplit,
+    params,
+    utt: Utterance,
+) -> Utterance:
+    """Zero-shot conversion targets for learned-mode checkpoints.
+
+    When the generator was trained with ``spk_emb_mode="learned"`` the
+    decoder expects SpeakerEncoder(mel) embeddings, not the metadata
+    one-hots (which come from a distribution the model never saw).
+    Replaces the utterance's spk_emb with its own mel's embedding —
+    this is what makes conversion ZERO-SHOT: any speaker's utterance
+    becomes a valid timbre target without retraining or metadata slots.
+    No-op for one-hot-mode configs, so callers can apply unconditionally.
+    """
+    if config.spk_emb_mode != "learned":
+        return utt
+    emb = _embed_speaker_jit(module, params, utt.mel)
+    return utt._replace(spk_emb=emb)
+
+
+@functools.partial(jax.jit, static_argnames=("module",))
 def _f0_convert_jit(module, params, mel_src, f0_trg_onehot):
     logits = module.apply({"params": params}, mel_src, f0_trg_onehot)
     ids = jnp.argmax(logits, axis=-1)  # [1, T]

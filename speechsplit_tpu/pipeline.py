@@ -133,23 +133,49 @@ class VoiceConverter:
         t = frame_count(len(wav), cfg.hop_length)
         return np.asarray(mel)[0, :t], np.asarray(f0)[0, :t]
 
+    def speaker_embedding_from_mel(self, mel: np.ndarray) -> np.ndarray:
+        """Learned-mode zero-shot timbre embedding from (up to
+        ``max_len_pad`` frames of) an utterance's mel — what the decoder
+        was conditioned on during ``spk_emb_mode="learned"`` training."""
+        from speechsplit_tpu.convert import _embed_speaker_jit
+        from speechsplit_tpu.ops.masks import pad_time_axis
+
+        cfg = self.config
+        t = min(len(mel), cfg.max_len_pad)
+        mel_pad, _ = pad_time_axis(
+            np.asarray(mel[:t], np.float32)[None], cfg.max_len_pad
+        )
+        return np.asarray(
+            _embed_speaker_jit(self.g_module, self.g_params, mel_pad)
+        )
+
     def extract_utterance(
         self,
         wav: np.ndarray,
-        spk_emb: np.ndarray,
+        spk_emb: Optional[np.ndarray] = None,
         gender: str = "M",
         name: str = "",
         uid: str = "",
     ) -> Utterance:
         """wav [N] float32 -> prepared (mel, F0) Utterance.
 
-        Truncates to ``max_len_pad`` frames (the model geometry limit);
-        for longer audio use :meth:`convert_wav_files`, which windows
-        automatically via ``convert_long``.
+        ``spk_emb=None`` derives the embedding from the utterance's own
+        mel in learned mode (zero-shot; one-hot configs require an
+        explicit embedding). Truncates to ``max_len_pad`` frames (the
+        model geometry limit); for longer audio use
+        :meth:`convert_wav_files`, which windows automatically via
+        ``convert_long``.
         """
         cfg = self.config
         mel, f0 = self.extract_features_full(wav, gender)
         t = min(len(mel), cfg.max_len_pad)
+        if spk_emb is None:
+            if cfg.spk_emb_mode != "learned":
+                raise ValueError(
+                    "spk_emb is required for one-hot configs "
+                    "(spk_emb_mode='learned' derives it from the mel)"
+                )
+            spk_emb = self.speaker_embedding_from_mel(mel)
         return prepare_utterance(
             cfg, mel[:t], f0[:t], spk_emb, name=name, uid=uid
         )
@@ -195,10 +221,6 @@ class VoiceConverter:
 
         cfg = self.config
         dim = cfg.dim_spk_emb
-        if src_emb is None:
-            src_emb = np.eye(dim, dtype=np.float32)[1]
-        if trg_emb is None:
-            trg_emb = np.eye(dim, dtype=np.float32)[7]
 
         s_mel, s_f0 = self.extract_features_full(
             read_wav(src_path, cfg.sample_rate), src_gender
@@ -206,6 +228,19 @@ class VoiceConverter:
         t_mel, t_f0 = self.extract_features_full(
             read_wav(trg_path, cfg.sample_rate), trg_gender
         )
+        if cfg.spk_emb_mode == "learned":
+            # zero-shot: each file's timbre target is its own mel's
+            # learned embedding (the metadata one-hot slots come from a
+            # distribution a learned-mode decoder never trained on)
+            if src_emb is None:
+                src_emb = self.speaker_embedding_from_mel(s_mel)
+            if trg_emb is None:
+                trg_emb = self.speaker_embedding_from_mel(t_mel)
+        else:
+            if src_emb is None:
+                src_emb = np.eye(dim, dtype=np.float32)[1]
+            if trg_emb is None:
+                trg_emb = np.eye(dim, dtype=np.float32)[7]
 
         out: Dict[str, Dict[str, np.ndarray]] = {}
         if max(len(s_mel), len(t_mel)) <= cfg.max_len_pad:

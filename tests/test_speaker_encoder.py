@@ -135,3 +135,58 @@ def test_mel_ctrg_rejected_in_onehot_mode():
         module.apply(
             {"params": state.params}, x_f0, batch.mel, batch.mel
         )
+
+
+def test_with_learned_embedding_conversion_path():
+    """Conversion glue for learned-mode checkpoints: the utterance's
+    spk_emb is replaced by its own mel's SpeakerEncoder embedding
+    (zero-shot timbre target), a no-op in onehot mode, and the
+    resulting utterance drives the 7-condition converter."""
+    from speechsplit_tpu.convert import (
+        convert,
+        prepare_utterance,
+        with_learned_embedding,
+    )
+
+    cfg = LEARNED
+    model = SpeechSplit(cfg)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    utt = prepare_utterance(
+        cfg,
+        rng.rand(50, cfg.dim_freq).astype(np.float32),
+        np.linspace(0.1, 0.9, 50),
+        np.eye(1, cfg.dim_spk_emb, 1, dtype=np.float32),
+        name="s", uid="0",
+    )
+    out = with_learned_embedding(cfg, model, state.params, utt)
+    assert out.spk_emb.shape == (1, cfg.dim_spk_emb)
+    ref = model.apply(
+        {"params": state.params}, utt.mel, method="embed_speaker"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.spk_emb), np.asarray(ref), atol=1e-6
+    )
+    # unit-norm (SpeakerEncoder contract), unlike the stored one-hot
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out.spk_emb)), 1.0, atol=1e-5
+    )
+
+    # onehot configs: strict no-op
+    same = with_learned_embedding(SMALL, model, state.params, utt)
+    assert same is utt
+
+    # the embedded utterance converts (one condition, eval forward)
+    from speechsplit_tpu.models.generator import F0Converter
+
+    _, p_state = create_train_state(
+        cfg, jax.random.PRNGKey(1), model="f0_converter"
+    )
+    results = convert(
+        model, state.params, F0Converter(cfg), p_state.params,
+        out, out, conditions=("U",),
+    )
+    (name, mel), = results.items() if isinstance(results, dict) else [
+        (n, m) for n, m in results
+    ]
+    assert np.isfinite(np.asarray(mel)).all()
