@@ -126,3 +126,67 @@ def test_full_cli_pipeline(workspace):
     assert len(npys) == 2 and len(wavs) == 2
     mel_out = np.load(os.path.join(out_dir, npys[0]))
     assert mel_out.shape[1] == 80 and np.isfinite(mel_out).all()
+
+
+def test_learned_mode_cli_pipeline(workspace, tmp_path):
+    """Same CLI workflow with spk_emb_mode=learned: training conditions
+    on SpeakerEncoder(mel), and conversion derives zero-shot timbre
+    targets from the utterances' own mels (the metadata one-hots are
+    ignored by design — with_learned_embedding)."""
+    from speechsplit_tpu.cli import convert as cli_convert
+    from speechsplit_tpu.cli import metadata as cli_metadata
+    from speechsplit_tpu.cli import preprocess as cli_preprocess
+    from speechsplit_tpu.cli import train as cli_train
+
+    root = workspace  # wavs + spk2gen from the module fixture
+    mel_dir = str(tmp_path / "spmel")
+    f0_dir = str(tmp_path / "raptf0")
+    hparams = SMALL_HPARAMS + ",spk_emb_mode=learned,dim_spk_enc=32"
+
+    cli_preprocess.main([
+        "--wav_dir", str(root / "wavs"),
+        "--mel_dir", mel_dir,
+        "--f0_dir", f0_dir,
+        "--spk2gen", str(root / "spk2gen.pkl"),
+    ])
+    cli_metadata.main(["--mel_dir", mel_dir])
+
+    run = tmp_path / "run"
+    common = [
+        "--num_iters", "2",
+        "--log_step", "2",
+        "--model_save_step", "2",
+        "--sample_step", "100",
+        "--model_save_dir", str(run / "models"),
+        "--sample_dir", str(run / "samples"),
+        "--log_dir", str(run / "logs"),
+        "--validation_path", str(tmp_path / "nonexistent.pkl"),
+        "--hparams",
+        hparams + f",root_dir={mel_dir},feat_dir={f0_dir}",
+        "--num_devices", "1",
+    ]
+    cli_train.main(common)
+    cli_train.main(common + ["--model", "f0_converter"])
+
+    demo = []
+    for spk, emb_ix in [("p226", 1), ("p231", 7)]:
+        mel = np.load(os.path.join(mel_dir, spk, "utt0.npy"))[:180]
+        f0 = np.load(os.path.join(f0_dir, spk, "utt0.npy"))[:180]
+        emb = np.zeros((82,), np.float32)
+        emb[emb_ix] = 1.0  # ignored in learned mode
+        demo.append([spk, emb, (mel, f0, len(mel), "utt0")])
+    demo_path = tmp_path / "demo.pkl"
+    with open(demo_path, "wb") as fh:
+        pickle.dump(demo, fh)
+
+    out_dir = str(tmp_path / "results")
+    cli_convert.main([
+        "--generator_ckpt", str(run / "models" / "2-G"),
+        "--f0_ckpt", str(run / "models" / "2-P"),
+        "--metadata", str(demo_path),
+        "--out_dir", out_dir,
+        "--conditions", "U",
+        "--hparams", hparams,
+    ])
+    mel_out = np.load(os.path.join(out_dir, os.listdir(out_dir)[0]))
+    assert mel_out.shape[1] == 80 and np.isfinite(mel_out).all()
