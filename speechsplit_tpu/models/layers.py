@@ -7,9 +7,11 @@ Design notes
   them straight onto the MXU without layout churn.
 - The LSTM hoists the input projection out of the recurrence: one large
   ``[B*T, I] @ [I, 4H]`` matmul feeds the scan, and the per-step work is a
-  single ``[B, H] @ [H, 4H]`` matmul plus VPU element-wise gates. XLA
-  pipelines this well; a fused Pallas cell is a later optimization for the
-  wide decoder (see speechsplit_tpu/ops/pallas_lstm.py when it lands).
+  single ``[B, H] @ [H, 4H]`` matmul plus VPU element-wise gates. On TPU
+  the recurrences run as fused Pallas sequence kernels instead
+  (ops/pallas_lstm.py: merged bidirectional grids, optionally with the
+  input projection fused in-grid — ``fused_proj_plan`` decides); the
+  scan path remains the CPU/parity reference.
 - Gate layout and parameter semantics deliberately mirror torch's LSTM
   (gates ordered i, f, g, o; two bias vectors summed at apply time) so that
   reference checkpoints (e.g. 660000-G.ckpt) can be imported losslessly for
