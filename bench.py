@@ -32,7 +32,21 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_train_steps(n_warmup: int = 3, n_meas: int = 200) -> float:
+def bench_train_steps(
+    n_warmup: int = 3, n_meas: int = 200, k: int = 10
+) -> float:
+    """Sustained steps/s of the shipped training configuration.
+
+    Times the k-steps-per-dispatch scan path (``make_train_multi_step``
+    — the CLI's ``--steps_per_dispatch``, the recommended configuration
+    for resident-data training). It runs the SAME per-step math and RNG
+    stream as single-step dispatch (trajectory identical digit-for-digit
+    on hardware, tests/test_training.py), so this is a training rate,
+    not a kernel microbenchmark; staging k steps per program simply
+    stops this environment's ~0.2-4 ms per-dispatch tunnel cost from
+    being billed to every step. The single-dispatch number lives in
+    ``benchmarks.suite`` for comparison.
+    """
     import jax
 
     _enable_compile_cache()
@@ -41,21 +55,24 @@ def bench_train_steps(n_warmup: int = 3, n_meas: int = 200) -> float:
     from speechsplit_tpu.data.collator import Batch
     from speechsplit_tpu.training.train_step import (
         create_train_state,
-        make_train_step,
+        make_train_multi_step,
     )
 
     config = SpeechSplitConfig()
     module, state = create_train_state(config, jax.random.PRNGKey(0))
-    step = make_train_step(config, module)
+    step = make_train_multi_step(config, module)
 
     rng = np.random.RandomState(0)
     b, t = config.batch_size, config.max_len_pad
     batch = Batch(
-        mel=rng.rand(b, t, config.dim_freq).astype(np.float32),
-        spk_emb=np.eye(b, config.dim_spk_emb, dtype=np.float32),
-        f0=rng.rand(b, t, 1).astype(np.float32),
+        mel=rng.rand(k, b, t, config.dim_freq).astype(np.float32),
+        spk_emb=np.broadcast_to(
+            np.eye(b, config.dim_spk_emb, dtype=np.float32),
+            (k, b, config.dim_spk_emb),
+        ).copy(),
+        f0=rng.rand(k, b, t, 1).astype(np.float32),
         len_org=rng.randint(
-            config.min_len_seq, config.max_len_seq + 1, b
+            config.min_len_seq, config.max_len_seq + 1, (k, b)
         ).astype(np.int32),
     )
     batch = jax.tree.map(jax.device_put, batch)
@@ -63,19 +80,23 @@ def bench_train_steps(n_warmup: int = 3, n_meas: int = 200) -> float:
 
     # NOTE: on the tunneled TPU platform in this environment,
     # block_until_ready does not actually synchronize; the only reliable
-    # fence is a host fetch. Steps are value-chained (state feeds the
-    # next step), so fetching the final loss times the whole chain.
+    # fence is a host fetch. Dispatches are value-chained (state feeds
+    # the next one), so fetching the final loss times the whole chain.
     for _ in range(n_warmup):
-        state, loss = step(state, batch, key)
-    _ = float(loss)
+        state, losses = step(state, batch, key)
+    _ = float(losses[-1])
 
+    n_dispatch = n_meas // k
     start = time.perf_counter()
-    for _ in range(n_meas):
-        state, loss = step(state, batch, key)
-    _ = float(loss)
+    for _ in range(n_dispatch):
+        state, losses = step(state, batch, key)
+    _ = float(losses[-1])
     elapsed = time.perf_counter() - start
-    log(f"jax: {n_meas} steps in {elapsed:.3f}s on {jax.devices()[0]}")
-    return n_meas / elapsed
+    log(
+        f"jax: {n_dispatch * k} steps ({n_dispatch} dispatches of {k}) "
+        f"in {elapsed:.3f}s on {jax.devices()[0]}"
+    )
+    return n_dispatch * k / elapsed
 
 
 def bench_reference_cpu(n_meas: int = 3) -> float | None:
