@@ -93,6 +93,15 @@ class SpeechSplitConfig:
     # "highest": full f32 multiplies (~2x recurrence cost, strict
     # numerics — see PARITY.md #7)
     matmul_precision: str = "default"
+    # dtype of Adam's FIRST-moment accumulator (optax mu_dtype).
+    # "bfloat16" halves mu's read+write HBM traffic in the update
+    # fusion (the optimizer moves 7 f32 words/param/step otherwise).
+    # mu tolerates bf16 because its EMA increment is 10% relative
+    # (b1=0.9), well above bf16's 2^-8 epsilon; nu does NOT (0.1%
+    # increments would round away — nu stays f32 always), and params
+    # stay f32 master weights. Default follows the measured A/B +
+    # trajectory equivalence (BENCHMARKS.md).
+    adam_mu_dtype: str = "float32"
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
     # speaker conditioning: "onehot" reproduces the reference's fixed

@@ -48,8 +48,16 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(config: SpeechSplitConfig) -> optax.GradientTransformation:
+    """Adam at the reference hyperparameters (main.py:42-44).
+
+    ``config.adam_mu_dtype`` optionally stores the first-moment
+    accumulator in bfloat16 (see config.py for why nu must stay f32).
+    """
     return optax.adam(
-        config.learning_rate, b1=config.adam_b1, b2=config.adam_b2
+        config.learning_rate,
+        b1=config.adam_b1,
+        b2=config.adam_b2,
+        mu_dtype=resolve_dtype(config.adam_mu_dtype),
     )
 
 

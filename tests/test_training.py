@@ -147,3 +147,49 @@ def test_data_parallel_8_devices_matches_single():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5
         )
+
+
+@pytest.mark.slow
+def test_adam_mu_bfloat16_trains_and_resumes(tmp_path):
+    """adam_mu_dtype=bfloat16: mu leaves stored bf16, descent matches the
+    f32-mu trajectory closely, and an f32-mu checkpoint restores into a
+    bf16-mu state (Orbax casts to the abstract target's dtypes)."""
+    import dataclasses
+
+    cfg32 = SMALL
+    cfg16 = dataclasses.replace(SMALL, adam_mu_dtype="bfloat16")
+
+    module, state16 = create_train_state(cfg16, jax.random.PRNGKey(0))
+    mu_dtypes = {
+        a.dtype for a in jax.tree.leaves(state16.opt_state[0].mu)
+    }
+    assert mu_dtypes == {jnp.dtype(jnp.bfloat16)}
+    nu_dtypes = {
+        a.dtype for a in jax.tree.leaves(state16.opt_state[0].nu)
+    }
+    assert nu_dtypes == {jnp.dtype(jnp.float32)}
+
+    _, state32 = create_train_state(cfg32, jax.random.PRNGKey(0))
+    step16 = make_train_step(cfg16, module)
+    step32 = make_train_step(cfg32, module)
+    batch = _fake_batch(cfg16, cfg16.batch_size)
+    key = jax.random.PRNGKey(3)
+    l16, l32 = [], []
+    for _ in range(20):
+        state16, loss = step16(state16, batch, key)
+        l16.append(float(loss))
+        state32, loss = step32(state32, batch, key)
+        l32.append(float(loss))
+    assert np.isfinite(l16).all()
+    # same descent: bf16 mu only perturbs the update direction slightly
+    np.testing.assert_allclose(l16, l32, rtol=2e-2)
+    assert np.mean(l16[-5:]) < 0.8 * np.mean(l16[:5])
+
+    # cross-dtype resume: save f32-mu, restore into a bf16-mu template
+    save_checkpoint(str(tmp_path), 1, state32)
+    restored = restore_checkpoint(str(tmp_path), 1, state16)
+    assert {
+        a.dtype for a in jax.tree.leaves(restored.opt_state[0].mu)
+    } == {jnp.dtype(jnp.bfloat16)}
+    _, loss_resumed = step16(restored, batch, key)
+    assert np.isfinite(float(loss_resumed))
