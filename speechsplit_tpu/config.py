@@ -99,9 +99,11 @@ class SpeechSplitConfig:
     # mu tolerates bf16 because its EMA increment is 10% relative
     # (b1=0.9), well above bf16's 2^-8 epsilon; nu does NOT (0.1%
     # increments would round away — nu stays f32 always), and params
-    # stay f32 master weights. Default follows the measured A/B +
-    # trajectory equivalence (BENCHMARKS.md).
-    adam_mu_dtype: str = "float32"
+    # stay f32 master weights. Hardware A/B (BENCHMARKS.md): ~1% step
+    # win at the batch 32-40 throughput points (new best 824k
+    # frames/s), noise at batch 16, loss identical to 6 decimals.
+    # "float32" restores the exact optax reference accumulator.
+    adam_mu_dtype: str = "bfloat16"
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
     # speaker conditioning: "onehot" reproduces the reference's fixed

@@ -156,7 +156,7 @@ def test_adam_mu_bfloat16_trains_and_resumes(tmp_path):
     bf16-mu state (Orbax casts to the abstract target's dtypes)."""
     import dataclasses
 
-    cfg32 = SMALL
+    cfg32 = dataclasses.replace(SMALL, adam_mu_dtype="float32")
     cfg16 = dataclasses.replace(SMALL, adam_mu_dtype="bfloat16")
 
     module, state16 = create_train_state(cfg16, jax.random.PRNGKey(0))
