@@ -104,6 +104,15 @@ class SpeechSplitConfig:
     # frames/s), noise at batch 16, loss identical to 6 decimals.
     # "float32" restores the exact optax reference accumulator.
     adam_mu_dtype: str = "bfloat16"
+    # dtype the gradient tree is cast to between backward and the Adam
+    # update. "bfloat16" sinks the casts into the grad producers (XLA
+    # fuses converts into dot/conv outputs), halving the grad tree's
+    # HBM write+read; ~0.4% relative rounding on each gradient, i.e.
+    # far below gradient noise — but OFF by default pending the same
+    # A/B + trajectory-equivalence bar every numerics default here has
+    # passed (BENCHMARKS.md). In the shard_map step the cast happens
+    # BEFORE the pmean, halving collective bytes too.
+    grad_dtype: str = "float32"
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axes: Tuple[str, ...] = ("data",)
     # speaker conditioning: "onehot" reproduces the reference's fixed

@@ -108,6 +108,20 @@ def create_train_state(
     )
 
 
+def _cast_grads(config: SpeechSplitConfig, grads: Any) -> Any:
+    """Optionally narrow the gradient tree (config.grad_dtype).
+
+    The casts sink into the gradient producers (XLA fuses converts into
+    dot/conv output epilogues — the profiled step shows
+    ``convolution_convert_fusion`` ops), so bf16 grads halve the grad
+    tree's HBM write+read instead of adding a copy. Identity when
+    grad_dtype == float32 (grads of f32 params are already f32)."""
+    dtype = resolve_dtype(config.grad_dtype)
+    if dtype == jnp.float32:
+        return grads
+    return jax.tree.map(lambda g: g.astype(dtype), grads)
+
+
 def _upcast_batch(batch: Batch) -> Batch:
     """Restore float32 on device (features may arrive bfloat16 when the
     prefetcher compresses host->device transfers)."""
@@ -174,6 +188,7 @@ def make_train_step_fn(
     ) -> Tuple[TrainState, Array]:
         key = jax.random.fold_in(key, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        grads = _cast_grads(config, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -281,6 +296,7 @@ def make_f0_train_step_fn(
     ) -> Tuple[TrainState, Array]:
         key = jax.random.fold_in(key, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        grads = _cast_grads(config, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -347,7 +363,9 @@ def make_train_step_shard_map(
         key = jax.random.fold_in(key, state.step)
         key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
-        # explicit collectives over ICI
+        # explicit collectives over ICI (cast first: bf16 grads halve
+        # the all-reduce bytes as well as the HBM traffic)
+        grads = _cast_grads(config, grads)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

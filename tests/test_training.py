@@ -193,3 +193,36 @@ def test_adam_mu_bfloat16_trains_and_resumes(tmp_path):
     } == {jnp.dtype(jnp.bfloat16)}
     _, loss_resumed = step16(restored, batch, key)
     assert np.isfinite(float(loss_resumed))
+
+
+@pytest.mark.slow
+def test_grad_dtype_bfloat16_descends_like_f32():
+    """grad_dtype=bfloat16 narrows the gradient tree before Adam; the
+    descent must track the f32-grad trajectory closely (bf16 rounding is
+    ~0.4% relative per gradient, far below gradient noise)."""
+    import dataclasses
+
+    cfg32 = dataclasses.replace(
+        SMALL, grad_dtype="float32", adam_mu_dtype="float32"
+    )
+    cfg16 = dataclasses.replace(
+        SMALL, grad_dtype="bfloat16", adam_mu_dtype="float32"
+    )
+    module, s16 = create_train_state(cfg16, jax.random.PRNGKey(0))
+    _, s32 = create_train_state(cfg32, jax.random.PRNGKey(0))
+    step16 = make_train_step(cfg16, module)
+    step32 = make_train_step(cfg32, module)
+    batch = _fake_batch(cfg16, cfg16.batch_size)
+    key = jax.random.PRNGKey(11)
+    l16, l32 = [], []
+    for _ in range(20):
+        s16, loss = step16(s16, batch, key)
+        l16.append(float(loss))
+        s32, loss = step32(s32, batch, key)
+        l32.append(float(loss))
+    assert np.isfinite(l16).all()
+    # bf16 grad rounding compounds with steps: tight early, looser tail
+    # (measured worst case on this config: 3.4% at step 17).
+    np.testing.assert_allclose(l16[:10], l32[:10], rtol=2e-2)
+    np.testing.assert_allclose(l16, l32, rtol=8e-2)
+    assert np.mean(l16[-5:]) < 0.8 * np.mean(l16[:5])
