@@ -191,10 +191,17 @@ def bench_preprocess_device(n_meas: int = 30) -> float:
     @jax.jit
     def run_n(x0):
         def body(carry, i):
-            mel, _ = extract_features(
+            mel, f0 = extract_features(
                 carry, lengths, lo, hi, jax.random.fold_in(key, i)
             )
-            return x0 + mel[0, 0, 0] * 1e-12, mel[0, 0, 0]
+            # fold EVERY output element into the carry: feeding back
+            # only mel[0,0,0] let XLA dead-code-eliminate the entire
+            # f0 tracker (measured 1.34 vs 8.9 ms/batch — a 6.6x
+            # phantom), which overstated this metric ~6x in rounds
+            # 1-2. The clip keeps the -1e10 unvoiced sentinels from
+            # swamping the fold.
+            fold = mel.mean() + jnp.clip(f0, -1.0, 2.0).mean()
+            return x0 + fold * 1e-12, fold
         _, outs = jax.lax.scan(body, x0, jnp.arange(n_meas))
         return outs[-1]
 
@@ -361,7 +368,13 @@ def bench_conversion_device(n_meas: int = 30, n_pairs: int = 8) -> float:
                 [emb_s, emb_s, emb_t, emb_s, emb_t, emb_t, emb_t], 0
             )
             out = g_module.apply({"params": g_state.params}, xs, orgs, embs)
-            return x0 + out[0, 0, 0] * 1e-12, out[0, 0, 0]
+            # fold every output element (not out[0,0,0]) so no part of
+            # the 7-condition grid can be dead-code-eliminated — same
+            # honesty fix as bench_preprocess_device (the Pallas
+            # decoder kernels are opaque to XLA slicing, so the
+            # phantom here was bounded, but the pattern was wrong).
+            fold = out.mean()
+            return x0 + fold * 1e-12, fold
 
         _, outs = jax.lax.scan(body, x0, jnp.arange(n_meas))
         return outs[-1]

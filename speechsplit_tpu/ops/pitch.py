@@ -51,6 +51,21 @@ class PitchParams(NamedTuple):
     freq_weight: float = 0.25  # octave-jump transition penalty
     voice_bias: float = 0.0    # bias toward voiced decisions
     trans_cost: float = 0.3    # voiced<->unvoiced switch cost
+    # parallel (associative-scan) Viterbi: log2(T) min-plus levels
+    # instead of a T-step serial lax.scan — same decoder up to float
+    # reassociation (see _viterbi_parallel). MEASURED LOSS at this
+    # geometry (in-scan, honest full-output timing: 6.87 ms/batch
+    # serial vs 8.11 parallel — the [T,S,S,S] min-plus materialization
+    # with S=13 wasting 115/128 VPU lanes costs more than the serial
+    # scan's T-step latency), so the default stays the serial scan;
+    # the parallel decoder remains parity-tested for geometries with
+    # more states/longer chains (BENCHMARKS.md "Pitch tracker A/B").
+    parallel_viterbi: bool = False
+    # candidate top-k via XLA sort (True, default) or k max/argmax
+    # passes (False); bit-identical either way (_top_k_by_max).
+    # Also a measured loss: 6.87 (sort) vs 7.12 ms (12 serial argmax
+    # passes) — XLA's TPU sort beats the max-scan at [T, ~295] rows.
+    topk_by_sort: bool = True
 
 
 def _nccf(
@@ -105,6 +120,33 @@ def _nccf(
     return num_c * jax.lax.rsqrt(e_0c * e_kc + 1e-12)
 
 
+def _top_k_by_max(x: Array, k: int):
+    """Exact top-k of each row by k repeated max/argmax passes.
+
+    Bit-identical to ``jax.lax.top_k`` (descending values; ties broken
+    toward the lower index — argmax returns the first maximum, as does
+    top_k's stable sort) without the XLA ``sort`` lowering: k
+    max-reduce passes over [T, L], ~50x fewer ops than the sort for
+    k=12, L~295. MEASURED LOSS anyway (6.87 -> 7.12 ms/batch in-scan):
+    the 12 serially-dependent argmax passes cost more in issue latency
+    than the sort's extra ops cost in VPU time, so ``topk_by_sort``
+    defaults True and this stays as the measured alternative.
+    Enforced against the top_k oracle in tests/test_pitch.py.
+    """
+    t, length = x.shape
+    iota = jnp.arange(length)[None, :]
+
+    def pick(carry, _):
+        cur = carry
+        pos = jnp.argmax(cur, axis=-1)  # first max per row: [T]
+        val = jnp.take_along_axis(cur, pos[:, None], axis=-1)[:, 0]
+        cur = jnp.where(iota == pos[:, None], -jnp.inf, cur)
+        return cur, (val, pos.astype(jnp.int32))
+
+    _, (vals, idx) = jax.lax.scan(pick, x, None, length=k)
+    return vals.T, idx.T  # [T, k] each, descending like top_k
+
+
 def _candidates(nccf: Array, kmin: int, params: PitchParams):
     """Pick top-K local maxima per frame with parabolic refinement.
 
@@ -115,7 +157,10 @@ def _candidates(nccf: Array, kmin: int, params: PitchParams):
     right = jnp.pad(nccf[:, 1:], ((0, 0), (0, 1)), constant_values=-2.0)
     is_peak = (nccf >= left) & (nccf > right)
     masked = jnp.where(is_peak, nccf, -2.0)
-    score, pos = jax.lax.top_k(masked, params.num_cands)  # [T, K]
+    if params.topk_by_sort:
+        score, pos = jax.lax.top_k(masked, params.num_cands)  # [T, K]
+    else:
+        score, pos = _top_k_by_max(masked, params.num_cands)
 
     # parabolic interpolation around each peak for sub-sample lag
     pos_c = jnp.clip(pos, 1, n_lags - 2)
@@ -135,17 +180,138 @@ def _viterbi(lag: Array, score: Array, kmax: int, params: PitchParams):
     """Viterbi over frames with K voiced states + 1 unvoiced state.
 
     lag, score: [T, K]. Returns (best_lag [T], voiced [T]).
-    """
-    t, k = lag.shape
-    usable = score > params.cand_thresh
 
-    # local costs: voiced = 1 - score*(1 - lag_weight*lag/kmax);
-    # unusable candidates are barred. unvoiced = voice_bias + best score.
+    Dispatches to the serial ``lax.scan`` decoder by default (the
+    measured winner at this geometry — see PitchParams); the parallel
+    associative-scan decoder (``params.parallel_viterbi=True``) is
+    equal up to float reassociation (tests/test_pitch.py pins them
+    against each other on random candidate fields).
+    """
+    if params.parallel_viterbi:
+        return _viterbi_parallel(lag, score, kmax, params)
+    return _viterbi_scan(lag, score, kmax, params)
+
+
+def _local_costs(lag: Array, score: Array, kmax: int, params: PitchParams):
+    """Shared per-frame candidate costs for both Viterbi decoders.
+
+    Returns (usable [T, K], local_v [T, K], local_u [T], log_lag [T, K]).
+    """
+    usable = score > params.cand_thresh
     lag_term = 1.0 - params.lag_weight * lag / kmax
     local_v = jnp.where(usable, 1.0 - score * lag_term, 1e6)  # [T, K]
     local_u = params.voice_bias + jnp.maximum(score.max(axis=1), 0.0)
-
     log_lag = jnp.log(jnp.maximum(lag, 1.0))  # [T, K]
+    return usable, local_v, local_u, log_lag
+
+
+def _viterbi_parallel(
+    lag: Array, score: Array, kmax: int, params: PitchParams
+):
+    """Parallel Viterbi: two ``associative_scan``s instead of T serial steps.
+
+    The serial decoder (``_viterbi_scan``) is latency-bound on TPU: a
+    T-step ``lax.scan`` whose per-step work is a [K, K] min-plus — the
+    device profile charged it ~0.4 ms/dispatch, all sequential-issue
+    latency. The forward DP is a min-plus matrix chain, which is
+    associative, so the whole recurrence runs in ceil(log2 T) levels:
+
+        cost[t] = v0 (x) M[1] (x) ... (x) M[t]        (min-plus)
+        M[t][p, s] = trans[t][p, s] + local[t][s]
+
+    with prefix products from ``jax.lax.associative_scan`` over the
+    [T-1, S, S] transition stack (S = K+1 states; K voiced + 1
+    unvoiced). Backpointers then need no recurrence at all — they are
+    a pointwise argmin over p of cost[t-1][p] + M[t][p, s] — and the
+    backtrace state[t] = back[t+1][state[t+1]] is function composition
+    over a S-element domain, also associative, so a second (reverse)
+    associative scan of gather-compositions yields every state in
+    log2 T levels.
+
+    Equal to the serial decoder up to float reassociation of the cost
+    sums (which can flip exact argmin ties); tie-breaking order is
+    preserved (argmin takes the first minimum = lowest voiced index,
+    and the voiced block precedes the unvoiced state, matching the
+    serial decoder's ``<=`` preference for voiced-on-tie).
+    """
+    t, k = lag.shape
+    usable, local_v, local_u, log_lag = _local_costs(
+        lag, score, kmax, params
+    )
+    s = k + 1  # states per frame: K voiced + unvoiced
+    if t == 1:  # degenerate clip: no transitions to scan over
+        states = jnp.argmin(
+            jnp.concatenate([local_v[0], local_u[0][None]])
+        )[None]
+        voiced = states < k
+        state_c = jnp.clip(states, 0, k - 1)
+        best_lag = jnp.take_along_axis(lag, state_c[:, None], axis=1)[:, 0]
+        has_cand = jnp.take_along_axis(
+            usable, state_c[:, None], axis=1
+        )[:, 0]
+        return best_lag, voiced & has_cand
+
+    # transition stack M[t] for t = 1..T-1: [T-1, S, S]
+    # voiced p -> voiced s: octave-jump penalty between consecutive lags
+    trans_vv = params.freq_weight * jnp.abs(
+        log_lag[1:, None, :] - log_lag[:-1, :, None]
+    )  # [T-1, K_prev, K_cur]
+    m = jnp.full((t - 1, s, s), params.trans_cost, log_lag.dtype)
+    m = m.at[:, :k, :k].set(trans_vv)
+    m = m.at[:, k, k].set(0.0)  # unvoiced -> unvoiced is free
+    local = jnp.concatenate([local_v, local_u[:, None]], axis=1)  # [T, S]
+    m = m + local[1:, None, :]  # fold arrival cost into the column
+
+    def min_plus(a, b):
+        # (A (x) B)[p, s] = min_m A[p, m] + B[m, s]; leading dims map
+        # over the scan axis.
+        return jnp.min(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+    prefix = jax.lax.associative_scan(min_plus, m)  # [T-1, S, S]
+    v0 = local[0]  # [S]
+    cost = jnp.concatenate(
+        [v0[None, :], jnp.min(v0[None, :, None] + prefix, axis=1)]
+    )  # [T, S]: cost[t][s] = cheapest path ending in state s at frame t
+
+    # backpointers, all frames at once: back[t][s] = argmin_p
+    # cost[t-1][p] + M[t][p, s]  (argmin -> first minimum -> voiced
+    # states win exact ties, then lower candidate index, as in the
+    # serial decoder)
+    back = jnp.argmin(cost[:-1, :, None] + m, axis=1)  # [T-1, S]
+    end_state = jnp.argmin(cost[-1])
+
+    # backtrace as associative composition of the maps f_t = back[t]:
+    # state[t] = back[t][back[t+1][... back[T-1][end]]]. With
+    # reverse=True, associative_scan internally flips the sequence, so
+    # combine receives (higher-index block a, lower-index block b) in
+    # flipped order and must apply a first: combine(a, b)[i] = b[a[i]]
+    # (verified against the serial backtrace in tests/test_pitch.py).
+    def compose(a, b):
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    suffix = jax.lax.associative_scan(compose, back, reverse=True)
+    states = jnp.concatenate(
+        [suffix[:, end_state], end_state[None]]
+    )  # [T]
+
+    voiced = states < k
+    state_c = jnp.clip(states, 0, k - 1)
+    best_lag = jnp.take_along_axis(lag, state_c[:, None], axis=1)[:, 0]
+    has_cand = jnp.take_along_axis(usable, state_c[:, None], axis=1)[:, 0]
+    return best_lag, voiced & has_cand
+
+
+def _viterbi_scan(lag: Array, score: Array, kmax: int, params: PitchParams):
+    """Serial (lax.scan) Viterbi — the reference decoder.
+
+    lag, score: [T, K]. Returns (best_lag [T], voiced [T]).
+    """
+    t, k = lag.shape
+    # local costs: voiced = 1 - score*(1 - lag_weight*lag/kmax);
+    # unusable candidates are barred. unvoiced = voice_bias + best score.
+    usable, local_v, local_u, log_lag = _local_costs(
+        lag, score, kmax, params
+    )
 
     def step(carry, inputs):
         prev_cost = carry  # [K+1]

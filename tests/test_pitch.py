@@ -110,6 +110,83 @@ def test_gender_range_masks_octave_errors():
     assert np.abs(np.median(f_est) - 120.0) < 5.0
 
 
+def test_top_k_by_max_matches_lax_top_k():
+    """_top_k_by_max replaces the XLA sort lowering; it must match
+    jax.lax.top_k bit-for-bit, including tie order (lowest index first)
+    and rows with fewer peaks than k (all-(-2.0) ties)."""
+    import jax
+
+    from speechsplit_tpu.ops.pitch import _top_k_by_max
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(64, 295).astype(np.float32)
+    # inject the -2.0 plateau the candidate mask produces, incl. full
+    # non-peak rows
+    x[x < 0.6] = -2.0
+    x[5] = -2.0
+    vals, idx = _top_k_by_max(jnp.asarray(x), 12)
+    ref_vals, ref_idx = jax.lax.top_k(jnp.asarray(x), 12)
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(ref_vals))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_parallel_viterbi_matches_scan():
+    """The associative-scan decoder must agree with the serial scan
+    decoder (exact up to float-reassociation tie flips, which random
+    continuous inputs make vanishingly rare)."""
+    from speechsplit_tpu.ops.pitch import (
+        PitchParams,
+        _viterbi_parallel,
+        _viterbi_scan,
+    )
+
+    rng = np.random.RandomState(3)
+    kmax = 320
+    for t in (1, 2, 3, 50, 251):
+        lag = jnp.asarray(
+            rng.uniform(26.0, 320.0, size=(t, 12)).astype(np.float32)
+        )
+        score = jnp.asarray(
+            rng.uniform(-0.2, 1.0, size=(t, 12)).astype(np.float32)
+        )
+        p = PitchParams()
+        lag_p, voiced_p = _viterbi_parallel(lag, score, kmax, p)
+        lag_s, voiced_s = _viterbi_scan(lag, score, kmax, p)
+        agree = np.asarray(voiced_p) == np.asarray(voiced_s)
+        assert agree.mean() >= 0.99, (t, agree.mean())
+        both = np.asarray(voiced_p) & np.asarray(voiced_s)
+        np.testing.assert_array_equal(
+            np.asarray(lag_p)[agree & both], np.asarray(lag_s)[agree & both]
+        )
+
+
+def test_track_pitch_parallel_equals_scan_end_to_end():
+    """Full tracker output on real-ish signals, parallel vs serial
+    Viterbi: identical log-F0 (candidate stage is shared and exact)."""
+    from speechsplit_tpu.ops.pitch import PitchParams
+
+    n = FS
+    x = np.stack(
+        [_voiced_tone(140.0, n), _voiced_tone(260.0, n)]
+    )
+    args = (
+        jnp.asarray(x),
+        jnp.asarray([n, n]),
+        jnp.asarray([50.0, 50.0], jnp.float32),
+        jnp.asarray([600.0, 600.0], jnp.float32),
+    )
+    out_p = np.asarray(
+        track_pitch(*args, params=PitchParams(parallel_viterbi=True))
+    )
+    out_s = np.asarray(
+        track_pitch(*args, params=PitchParams(parallel_viterbi=False))
+    )
+    assert (out_p == out_s).mean() > 0.995
+    # voiced/unvoiced flips (tie reassociation) must be the only diffs
+    both = (out_p > -1e9) & (out_s > -1e9)
+    np.testing.assert_array_equal(out_p[both], out_s[both])
+
+
 def test_frames_past_length_are_unvoiced():
     x = np.zeros((2, FS), np.float32)
     x[0] = _voiced_tone(150.0, FS)
