@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from speechsplit_tpu.ops.stft import strided_windows
+
 Array = jax.Array
 
 UNVOICED_LOG_F0 = -1e10  # sentinel shared with the reference pipeline
@@ -85,8 +87,9 @@ def _nccf(
     n_lags = kmax - kmin + 1
     span = window + kmax  # samples each frame's correlation touches
     starts = jnp.arange(n_frames) * hop
-    idx = starts[:, None] + jnp.arange(span)[None, :]
-    frames = x[idx]  # [T, span]
+    # hop-aligned windows via reshape+concat, not gather (TPU gathers
+    # are scalar-issue; see stft.strided_windows)
+    frames = strided_windows(x, n_frames, hop, span)  # [T, span]
 
     # cross-correlation numerator via rfft (linear correlation: pad to
     # >= span + window)
@@ -104,11 +107,15 @@ def _nccf(
     sum_prefix = jnp.concatenate(
         [jnp.zeros((1,), x.dtype), jnp.cumsum(x)]
     )
-    lags = jnp.arange(kmin, kmax + 1)[None, :]  # [1, L]
-    seg_start = starts[:, None] + lags  # [T, L]
-    s_k = sum_prefix[seg_start + window] - sum_prefix[seg_start]
+    # segment sums at seg_start[t, l] = starts[t] + kmin + l (+window):
+    # for each frame these are L CONSECUTIVE prefix entries, so the
+    # same strided-window reshape replaces four [T, L] gathers
+    def seg(prefix, base):
+        return strided_windows(prefix[base:], n_frames, hop, n_lags)
+
+    s_k = seg(sum_prefix, kmin + window) - seg(sum_prefix, kmin)
     s_0 = (sum_prefix[starts + window] - sum_prefix[starts])[:, None]
-    e_k = energy_prefix[seg_start + window] - energy_prefix[seg_start]
+    e_k = seg(energy_prefix, kmin + window) - seg(energy_prefix, kmin)
     e_0 = (
         energy_prefix[starts + window] - energy_prefix[starts]
     )[:, None]
@@ -162,11 +169,23 @@ def _candidates(nccf: Array, kmin: int, params: PitchParams):
     else:
         score, pos = _top_k_by_max(masked, params.num_cands)
 
-    # parabolic interpolation around each peak for sub-sample lag
+    # parabolic interpolation around each peak for sub-sample lag.
+    # The neighbor lookups are one-hot dots, not take_along_axis: three
+    # [T, K] gathers from [T, L] cost 0.58 ms EACH on TPU (scalar-issue
+    # loads; round-3 preprocessing profile), while a single-nonzero
+    # one-hot contraction is exact (one 1.0*x term plus 0.0 terms) and
+    # runs on the vector units. `left`/`right` are the shifted copies
+    # already built for peak detection, so ym/yp index at pos_c itself.
     pos_c = jnp.clip(pos, 1, n_lags - 2)
-    ym = jnp.take_along_axis(nccf, pos_c - 1, axis=1)
-    y0 = jnp.take_along_axis(nccf, pos_c, axis=1)
-    yp = jnp.take_along_axis(nccf, pos_c + 1, axis=1)
+    onehot = (
+        pos_c[:, None, :, None] == jnp.arange(n_lags)[None, None, None, :]
+    )  # [T, 1, K, L] bool
+    neighbors = jnp.stack([left, nccf, right], axis=1)  # [T, 3, L]
+    picked = jnp.sum(
+        jnp.where(onehot, neighbors[:, :, None, :], 0.0), axis=-1
+    )  # [T, 3, K] — select+reduce fuses; exactly one term survives,
+    # so the result is bit-identical to the gather (no MXU rounding)
+    ym, y0, yp = picked[:, 0], picked[:, 1], picked[:, 2]
     denom = ym - 2.0 * y0 + yp
     delta = jnp.where(
         jnp.abs(denom) > 1e-9, 0.5 * (ym - yp) / denom, 0.0

@@ -6,7 +6,8 @@ periodic Hann), Slaney-scale mel filterbank (80 bins, 90–7600 Hz),
 ``20*log10(max(1e-5, .)) - 16`` dB compression, then ``(dB+100)/100``
 into [0, 1].
 
-TPU-first design: framing is a reshape+gather, the window multiply fuses
+TPU-first design: framing is gather-free (hop-aligned reshape+concat
+windows, ``strided_windows``), the window multiply fuses
 with the rfft, and the mel projection is a single ``[F, n_fft/2+1] @
 [n_fft/2+1, n_mels]`` matmul on the MXU. Everything is batched over
 utterances; no per-file Python loop (the reference preprocesses serially,
@@ -91,6 +92,32 @@ def mel_filterbank(
     return weights.T.astype(np.float32)  # [F, n_mels]
 
 
+def strided_windows(x: Array, n_frames: int, hop: int, span: int) -> Array:
+    """Gather-free overlapping windows: out[..., t, j] = x[..., t*hop + j].
+
+    TPU gathers are scalar-issue (~12 ns/element): the old
+    ``x[starts[:, None] + arange(span)]`` framing cost 0.47 ms/batch in
+    the preprocessing profile, and the same pattern on the NCCF prefix
+    sums two more gathers (BENCHMARKS.md round-3 preprocessing
+    profile). Because the window starts are hop-aligned, the windows
+    are concatenations of ceil(span/hop) consecutive hop-sized blocks,
+    so a reshape + static slices + one concat produces them with zero
+    gathers. Values are bit-identical to the gather form; positions
+    past ``len(x)`` read zeros (callers must not depend on them, same
+    contract as the zero-padded gather form).
+    """
+    nblk = -(-span // hop)
+    need = (n_frames + nblk) * hop
+    n = x.shape[-1]
+    if need > n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - n)])
+    else:
+        x = x[..., :need]
+    xr = x.reshape(*x.shape[:-1], n_frames + nblk, hop)
+    parts = [xr[..., i : i + n_frames, :] for i in range(nblk)]
+    return jnp.concatenate(parts, axis=-1)[..., :span]
+
+
 def frame_signal(x: Array, n_fft: int, hop: int) -> Array:
     """Reflect-pad by n_fft//2 and slice into overlapping frames.
 
@@ -105,9 +132,7 @@ def frame_signal(x: Array, n_fft: int, hop: int) -> Array:
     )
     n = x.shape[-1]
     n_frames = (n - (n_fft - hop)) // hop
-    starts = jnp.arange(n_frames) * hop
-    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
-    return x[..., idx]
+    return strided_windows(x, n_frames, hop, n_fft)
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop"))

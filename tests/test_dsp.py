@@ -49,6 +49,30 @@ def test_magnitude_stft_matches_naive(rng):
     np.testing.assert_allclose(got, expected, atol=2e-3, rtol=1e-4)
 
 
+def test_strided_windows_matches_gather(rng):
+    """The gather-free framing must be bit-identical to the index form
+    x[starts[:, None] + arange(span)], including span > hop overlap,
+    span == hop, batch dims, and zero-reads past the signal end."""
+    from speechsplit_tpu.ops.stft import strided_windows
+
+    for shape, hop, span, t in [
+        ((2, 5000), 256, 1024, 17),
+        ((5000,), 256, 440, 18),
+        ((3, 2, 1000), 100, 100, 9),
+        ((700,), 256, 295, 3),
+    ]:
+        x = rng.randn(*shape).astype(np.float32)
+        got = np.asarray(
+            strided_windows(jnp.asarray(x), t, hop, span)
+        )
+        pad = max(0, (t - 1) * hop + span - shape[-1])
+        xp = np.concatenate(
+            [x, np.zeros(shape[:-1] + (pad,), np.float32)], axis=-1
+        )
+        idx = np.arange(t)[:, None] * hop + np.arange(span)[None, :]
+        np.testing.assert_array_equal(got, xp[..., idx])
+
+
 def test_stft_frame_count_matches_reference_hop_math(rng):
     # the reference asserts len(mel) == len(f0) with f0 frames = N//hop+1
     # for the length-adjusted signal (make_spect_f0.py:52-53,69)
