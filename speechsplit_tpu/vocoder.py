@@ -37,6 +37,30 @@ class Vocoder(Protocol):
         """normalized mel [T, 80] -> waveform [N] float32 @ sample_rate."""
 
 
+def _overlap_add(frames: Array, hop: int) -> Array:
+    """Scatter-free overlap-add: [..., T, n_fft] -> [..., n_fft+(T-1)*hop].
+
+    TPU scatters are scalar-issue (the old ``buf.at[idx].add`` over
+    T*n_fft elements was the dominant cost of every iSTFT, and
+    Griffin-Lim runs one per iteration). With hop | n_fft each frame
+    is n_fft//hop hop-sized blocks and block i of frame t lands at
+    output block t+i, so the whole scatter is nblk shifted pads summed
+    together — static ops only. Float-identical to the scatter up to
+    addition order at overlapped samples.
+    """
+    t, n_fft = frames.shape[-2:]
+    assert n_fft % hop == 0, (n_fft, hop)
+    nblk = n_fft // hop
+    chunks = frames.reshape(*frames.shape[:-1], nblk, hop)
+    pad0 = [(0, 0)] * (frames.ndim - 2)
+    parts = [
+        jnp.pad(chunks[..., i, :], pad0 + [(i, nblk - 1 - i), (0, 0)])
+        for i in range(nblk)
+    ]
+    out = functools.reduce(jnp.add, parts)
+    return out.reshape(*frames.shape[:-2], (t + nblk - 1) * hop)
+
+
 def _istft(spec: Array, n_fft: int, hop: int) -> Array:
     """Inverse STFT with Hann overlap-add (synthesis-window normalized).
 
@@ -46,28 +70,12 @@ def _istft(spec: Array, n_fft: int, hop: int) -> Array:
     window = jnp.asarray(hann_window(n_fft))
     frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
     t = frames.shape[-2]
-    out_len = n_fft + (t - 1) * hop
 
-    def overlap_add(frames_1):
-        buf = jnp.zeros((out_len,), frames_1.dtype)
-        idx = (
-            jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
-        ).reshape(-1)
-        return buf.at[idx].add(frames_1.reshape(-1))
-
-    batch_shape = frames.shape[:-2]
-    flat = frames.reshape((-1, t, n_fft))
-    sig = jax.vmap(overlap_add)(flat)
-
-    wsum = jnp.zeros((out_len,))
-    idx = (
-        jnp.arange(t)[:, None] * hop + jnp.arange(n_fft)[None, :]
-    ).reshape(-1)
-    wsum = wsum.at[idx].add(jnp.tile(window**2, (t,)))
-    sig = sig / jnp.maximum(wsum, 1e-8)[None, :]
+    sig = _overlap_add(frames, hop)
+    wsum = _overlap_add(jnp.tile(window**2, (t, 1)), hop)
+    sig = sig / jnp.maximum(wsum, 1e-8)
     pad = n_fft // 2
-    sig = sig[:, pad : pad + (t - 1) * hop]
-    return sig.reshape(batch_shape + (sig.shape[-1],))
+    return sig[..., pad : pad + (t - 1) * hop]
 
 
 def _stft_complex(x: Array, n_fft: int, hop: int) -> Array:
