@@ -58,11 +58,12 @@ def main(argv=None) -> None:
         "built-in Griffin-Lim",
     )
     parser.add_argument(
-        "--vocoder_refine", type=int, default=8,
+        "--vocoder_refine", type=int, default=24,
         help="mel-consistency projection iterations on the neural "
-        "vocoder's predicted spectrum (0 = raw one-shot head; the "
-        "default keeps GL-grade mel fidelity at a fraction of GL's "
-        "iterations — BENCHMARKS.md 'Vocoder quality')",
+        "vocoder's predicted spectrum (0 = raw one-shot head; since "
+        "the scatter-free overlap-add, iterations are ~60 us each so "
+        "the default buys GL-100-grade mel fidelity for <1 ms — "
+        "BENCHMARKS.md 'Vocoder quality')",
     )
     parser.add_argument("--hparams", default="", help="k=v,k=v overrides")
     parser.add_argument(

@@ -141,9 +141,9 @@ def main(argv=None) -> None:
         "Griffin-Lim",
     )
     parser.add_argument(
-        "--vocoder_refine", type=int, default=8,
+        "--vocoder_refine", type=int, default=24,
         help="mel-consistency projection iterations on the neural "
-        "vocoder's spectrum (0 = raw one-shot head)",
+        "vocoder's spectrum (0 = raw one-shot head; ~60 us each)",
     )
     parser.add_argument("--hparams", default="")
     args = parser.parse_args(argv)

@@ -212,7 +212,9 @@ class GriffinLimVocoder:
         fmin: float = 90.0,
         fmax: float = 7600.0,
         ref_level_db: float = 16.0,
-        n_iter: int = 60,
+        n_iter: int = 100,  # iterations are ~60 us since the
+        # scatter-free overlap-add — 100 costs ~2.7 ms over 50 and
+        # reaches 0.182 dB mel error (BENCHMARKS.md 'Vocoder quality')
         seed: int = 0,
     ):
         self.sample_rate = sample_rate
