@@ -56,15 +56,37 @@ def test_stack_batches_rejects_nonpositive_k(rng):
 
 
 @pytest.mark.slow
-def test_multi_step_matches_single_steps(rng):
-    """One k=4 dispatch == four k=1 dispatches (up to fusion noise)."""
-    k = 4
-    module, state1 = create_train_state(SMALL, jax.random.PRNGKey(0))
-    _, state2 = create_train_state(SMALL, jax.random.PRNGKey(0))
-    single = make_train_step(SMALL, module)
-    multi = make_train_multi_step(SMALL, module)
+@pytest.mark.parametrize(
+    "mode,param_atol,param_rtol",
+    [
+        # exact accumulators: only XLA fusion/reassociation noise
+        # between the two compiled programs (measured <= 1.3e-7 abs
+        # on the CPU backend; exactly 0.0 on TPU)
+        ("float32", 1e-6, 1e-5),
+        # the DEFAULT config stores Adam mu (and the grad tree) in
+        # bfloat16: fusion-level grad diffs can cross a bf16 rounding
+        # boundary, amplifying to ~one bf16 ulp of the Adam update —
+        # lr * ~0.8% * k steps ~= 3e-6 abs (measured 2.1e-6 / 1.8e-3
+        # rel at tiny params). The contract is the same trajectory,
+        # at the accumulator's own precision.
+        ("bfloat16", 2e-5, 5e-3),
+    ],
+)
+def test_multi_step_matches_single_steps(mode, param_atol, param_rtol):
+    """One k=4 dispatch == four k=1 dispatches (up to fusion noise).
 
-    batches = [_batch(rng, SMALL) for _ in range(k)]
+    Local RandomState (not the session ``rng`` fixture): the f32
+    bounds are tight enough that the input must not depend on test
+    selection order."""
+    k = 4
+    cfg = SMALL.replace(adam_mu_dtype=mode, grad_dtype=mode)
+    module, state1 = create_train_state(cfg, jax.random.PRNGKey(0))
+    _, state2 = create_train_state(cfg, jax.random.PRNGKey(0))
+    single = make_train_step(cfg, module)
+    multi = make_train_multi_step(cfg, module)
+
+    local = np.random.RandomState(0)
+    batches = [_batch(local, cfg) for _ in range(k)]
     key = jax.random.PRNGKey(7)
 
     losses_single = []
@@ -78,13 +100,14 @@ def test_multi_step_matches_single_steps(rng):
     np.testing.assert_allclose(
         np.asarray(losses_multi, np.float32),
         np.asarray(losses_single, np.float32),
-        rtol=1e-6, atol=1e-8,
+        rtol=1e-5, atol=1e-7,
     )
     for a, b in zip(
         jax.tree.leaves(state1.params), jax.tree.leaves(state2.params)
     ):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+            np.asarray(a), np.asarray(b),
+            rtol=param_rtol, atol=param_atol,
         )
     assert int(state2.step) == k
 
