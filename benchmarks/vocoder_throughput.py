@@ -101,17 +101,28 @@ def main(argv=None) -> None:
     log(f"GL-{args.gl_iters} device-only: {per * 1e3:.2f} ms per "
         f"{b}-utt batch = {b / per:.0f} utt/s")
 
-    # --- Griffin-Lim, end-to-end ----------------------------------------
+    # --- Griffin-Lim, end-to-end (float fetch vs device-pcm16) ----------
+    # INTERLEAVED A/B: tunnel bandwidth drifts on ~minutes timescales,
+    # so sequential phases can invert a real ~1.5x fetch difference.
     mels = [mel[i] for i in range(b)]
-    gl.synthesize_batch(mels)  # warm
-    start = time.perf_counter()
     reps = 5
-    for _ in range(reps):
-        out = gl.synthesize_batch(mels)
-    e2e = (time.perf_counter() - start) / reps
-    result[f"gl{args.gl_iters}_e2e_utt_per_s"] = round(b / e2e, 1)
-    log(f"GL-{args.gl_iters} end-to-end: {e2e * 1e3:.1f} ms per batch "
-        f"= {b / e2e:.0f} utt/s")
+
+    def e2e_ab(synth):
+        times = {False: [], True: []}
+        for pcm16 in (False, True):
+            synth(mels, pcm16=pcm16)  # warm both programs first
+        for _ in range(reps):
+            for pcm16 in (False, True):
+                start = time.perf_counter()
+                synth(mels, pcm16=pcm16)
+                times[pcm16].append(time.perf_counter() - start)
+        return {k: float(np.median(v)) for k, v in times.items()}
+
+    for pcm16, e2e in e2e_ab(gl.synthesize_batch).items():
+        tag = "_pcm16" if pcm16 else ""
+        result[f"gl{args.gl_iters}_e2e{tag}_utt_per_s"] = round(b / e2e, 1)
+        log(f"GL-{args.gl_iters} end-to-end{tag}: {e2e * 1e3:.1f} ms "
+            f"per batch = {b / e2e:.0f} utt/s")
 
     # --- Neural head (+refine), device-only + end-to-end ----------------
     if args.ckpt:
@@ -139,16 +150,12 @@ def main(argv=None) -> None:
         log(f"{key} device-only: {per * 1e3:.2f} ms per batch "
             f"= {b / per:.0f} utt/s")
 
-        voc.synthesize_batch(mels)
-        start = time.perf_counter()
-        for _ in range(reps):
-            out = voc.synthesize_batch(mels)
-        e2e = (time.perf_counter() - start) / reps
-        result[f"{key}_e2e_utt_per_s"] = round(b / e2e, 1)
-        log(f"{key} end-to-end: {e2e * 1e3:.1f} ms per batch "
-            f"= {b / e2e:.0f} utt/s")
+        for pcm16, e2e in e2e_ab(voc.synthesize_batch).items():
+            tag = "_pcm16" if pcm16 else ""
+            result[f"{key}_e2e{tag}_utt_per_s"] = round(b / e2e, 1)
+            log(f"{key} end-to-end{tag}: {e2e * 1e3:.1f} ms per batch "
+                f"= {b / e2e:.0f} utt/s")
 
-    del out
     print(json.dumps(result))
 
 

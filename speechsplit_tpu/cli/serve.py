@@ -94,6 +94,9 @@ def build_handler(converter, default_out: str):
                     compress_results=bool(
                         req.get("compress_results", False)
                     ),
+                    # wavs are written as PCM16 below: quantize on
+                    # device, fetch 4x fewer bytes
+                    pcm16=True,
                 )
                 stem = os.path.splitext(os.path.basename(src))[0]
                 payload = {}
@@ -110,10 +113,13 @@ def build_handler(converter, default_out: str):
                         wav_path = os.path.join(
                             out_dir, f"{stem}_{condition}.wav"
                         )
+                        wav = entry["wav"]
+                        if wav.dtype != np.int16:  # float vocoder path
+                            wav = (wav * 32767).astype(np.int16)
                         wavfile.write(
                             wav_path,
                             converter.config.sample_rate,
-                            (entry["wav"] * 32767).astype(np.int16),
+                            wav,
                         )
                         info["wav_path"] = wav_path
                     payload[condition] = info

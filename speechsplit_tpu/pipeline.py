@@ -206,6 +206,7 @@ class VoiceConverter:
         conditions: Sequence[str] = CONDITIONS,
         synthesize: bool = True,
         compress_results: bool = False,
+        pcm16: bool = False,
     ) -> Dict[str, Dict[str, np.ndarray]]:
         """Full wav->wav conversion between two utterance files.
 
@@ -215,6 +216,9 @@ class VoiceConverter:
         ``synthesize``). ``compress_results`` fetches result mels from
         the device as bfloat16 (halves the transfer on slow links,
         ~0.2 dB rounding — the convert CLI's --compress_results).
+        ``pcm16`` returns wavs as int16 quantized on device (4x fewer
+        fetch bytes; see GriffinLimVocoder.synthesize_batch) — callers
+        that write PCM16 (cli/serve) should pass True.
         """
         from speechsplit_tpu.convert import convert_long
         from speechsplit_tpu.data.prepare import read_wav
@@ -271,7 +275,9 @@ class VoiceConverter:
             ]
         wavs = None
         if synthesize and hasattr(self.vocoder, "synthesize_batch"):
-            wavs = self.vocoder.synthesize_batch([m for _, m in named])
+            wavs = self.vocoder.synthesize_batch(
+                [m for _, m in named], pcm16=pcm16
+            )
         for i, (condition, mel) in enumerate(named):
             entry = {"mel": mel}
             if synthesize:

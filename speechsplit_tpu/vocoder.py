@@ -200,6 +200,27 @@ def mel_griffin_lim(
     return _istft(proj, n_fft, hop)
 
 
+@jax.jit
+def _peak_norm_pcm16(wavs: Array, n_samples: Array) -> Array:
+    """Per-utterance peak-normalize to 0.9 and quantize to int16 ON
+    DEVICE: [B, N] f32 + [B] true sample counts -> [B, N] int16.
+
+    The float path does the identical normalization on host
+    (``w / peak * 0.9``) and the CLIs then write
+    ``(w * 32767).astype(int16)``; doing both on device quarters the
+    waveform fetch bytes (the dominant end-to-end cost — BENCHMARKS.md
+    "Vocoder batched synthesis"). One deliberate difference: this path
+    ROUNDS to the nearest code where numpy's astype truncates toward
+    zero — up to half an LSB better, never worse.
+    """
+    idx = jnp.arange(wavs.shape[1])[None, :]
+    mask = idx < n_samples[:, None]
+    peak = jnp.max(jnp.abs(wavs) * mask, axis=1)
+    scale = 0.9 * 32767.0 / jnp.maximum(peak, 1e-5)
+    q = jnp.clip(jnp.round(wavs * scale[:, None]), -32768.0, 32767.0)
+    return q.astype(jnp.int16)
+
+
 class GriffinLimVocoder:
     """Pseudo-inverse-mel + Griffin-Lim synthesis (see module docstring)."""
 
@@ -235,7 +256,7 @@ class GriffinLimVocoder:
         return self.synthesize_batch([np.asarray(mel)])[0]
 
     def synthesize_batch(
-        self, mels: "list[np.ndarray]"
+        self, mels: "list[np.ndarray]", pcm16: bool = False
     ) -> "list[np.ndarray]":
         """Synthesize many mels in one device call (padded to a common
         BUCKETED length, trimmed per input). Per-call cost is dominated
@@ -245,7 +266,11 @@ class GriffinLimVocoder:
         a corpus of arbitrary utterance lengths (one compile per bucket
         instead of per length). Padding frames are zero = the
         normalized scale's silence floor; outputs are trimmed to each
-        input's true sample count."""
+        input's true sample count.
+
+        ``pcm16=True`` peak-normalizes and quantizes ON DEVICE and
+        returns int16 arrays — 4x fewer fetch bytes, for callers that
+        write PCM16 wavs anyway (cli/convert, cli/serve)."""
         t_max = -(-max(len(m) for m in mels) // 32) * 32
         batch = np.zeros((len(mels), t_max, mels[0].shape[1]), np.float32)
         for i, m in enumerate(mels):
@@ -256,10 +281,13 @@ class GriffinLimVocoder:
             amp, self.basis, self.inv_basis, self.key,
             self.n_fft, self.hop, self.n_iter,
         )
+        lens = np.array([(len(m) - 1) * self.hop for m in mels])
+        if pcm16:
+            q = np.asarray(_peak_norm_pcm16(wavs, jnp.asarray(lens)))
+            return [q[i, :n] for i, n in enumerate(lens)]
         wavs = np.asarray(wavs, np.float32)
         out = []
-        for i, m in enumerate(mels):
-            n = (len(m) - 1) * self.hop
+        for i, n in enumerate(lens):
             w = wavs[i, :n]
             peak = max(float(np.abs(w).max()), 1e-5)
             out.append((w / peak * 0.9).astype(np.float32))

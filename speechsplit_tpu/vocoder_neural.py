@@ -415,21 +415,28 @@ class NeuralVocoder:
         return self.synthesize_batch([np.asarray(mel)])[0]
 
     def synthesize_batch(
-        self, mels: "list[np.ndarray]"
+        self, mels: "list[np.ndarray]", pcm16: bool = False
     ) -> "list[np.ndarray]":
         # pad to 32-frame (~0.5 s) buckets: one compiled program per
         # bucket instead of per distinct utterance length (see
-        # GriffinLimVocoder.synthesize_batch)
+        # GriffinLimVocoder.synthesize_batch; pcm16 semantics also
+        # documented there — device peak-norm + int16, 4x fetch cut)
+        from speechsplit_tpu.vocoder import _peak_norm_pcm16
+
         t_max = -(-max(len(m) for m in mels) // 32) * 32
         batch = np.zeros(
             (len(mels), t_max, mels[0].shape[1]), np.float32
         )
         for i, m in enumerate(mels):
             batch[i, : len(m)] = m
-        wavs = np.asarray(self._apply(self.params, jnp.asarray(batch)))
+        wavs = self._apply(self.params, jnp.asarray(batch))
+        lens = np.array([(len(m) - 1) * self.hop for m in mels])
+        if pcm16:
+            q = np.asarray(_peak_norm_pcm16(wavs, jnp.asarray(lens)))
+            return [q[i, :n] for i, n in enumerate(lens)]
+        wavs = np.asarray(wavs)
         out = []
-        for i, m in enumerate(mels):
-            n = (len(m) - 1) * self.hop
+        for i, n in enumerate(lens):
             w = wavs[i, :n]
             peak = max(float(np.abs(w).max()), 1e-5)
             out.append((w / peak * 0.9).astype(np.float32))

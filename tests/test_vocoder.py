@@ -78,3 +78,39 @@ def test_batched_synthesis_matches_single(rng):
     assert len(outs[1]) == 99 * 256
     for o in outs:
         assert np.isfinite(o).all() and np.abs(o).max() <= 0.9 + 1e-4
+
+
+def test_synthesize_batch_pcm16_matches_float_path():
+    """Device-side peak-norm + int16 quantization (the 4x-fetch-cut
+    serving path) must agree with the host float path to <= 1 LSB
+    (the device ROUNDS where numpy's astype truncates) on every
+    utterance of a mixed-length batch, including the trim lengths."""
+    local = np.random.RandomState(3)
+    mels = [
+        np.clip(local.rand(n, 80) * 0.6 + 0.2, 0, 1).astype(np.float32)
+        for n in (40, 64, 57)
+    ]
+    voc = GriffinLimVocoder(n_iter=8)
+    f = voc.synthesize_batch(mels)
+    q = voc.synthesize_batch(mels, pcm16=True)
+    for wf, wq in zip(f, q):
+        assert wq.dtype == np.int16
+        assert len(wq) == len(wf)
+        host = (wf * 32767).astype(np.int16)
+        assert np.abs(wq.astype(np.int32) - host.astype(np.int32)).max() <= 1
+
+
+def test_neural_synthesize_batch_pcm16(rng):
+    from speechsplit_tpu.vocoder_neural import VocoderTrainer, NeuralVocoder
+    import jax
+
+    trainer = VocoderTrainer(channels=32, depth=2)
+    state = trainer.init(jax.random.PRNGKey(0), t_frames=16)
+    voc = NeuralVocoder(state.params, channels=32, depth=2)
+    mels = [rng.rand(n, 80).astype(np.float32) for n in (33, 48)]
+    f = voc.synthesize_batch(mels)
+    q = voc.synthesize_batch(mels, pcm16=True)
+    for wf, wq in zip(f, q):
+        assert wq.dtype == np.int16 and len(wq) == len(wf)
+        host = (wf * 32767).astype(np.int16)
+        assert np.abs(wq.astype(np.int32) - host.astype(np.int32)).max() <= 1
