@@ -116,7 +116,13 @@ class VoiceConverter:
         cfg = self.config
         lo, hi = GENDER_F0_RANGE[gender]
         batch, lengths = pad_batch([wav])
-        self._key, sub = jax.random.split(self._key)
+        # FIXED dither key, not a per-call split: the reference's
+        # preprocessing is deterministic (one RandomState seeded per
+        # speaker, make_spect_f0.py:47), and a stateful split made
+        # identical convert_wav_files calls return mels differing by
+        # up to ~0.018 (dither flips marginal voicing frames -> whole
+        # F0 one-hot bins). Same input must give the same conversion.
+        sub = self._key
         mel, f0 = extract_features(
             batch,
             lengths,

@@ -62,6 +62,22 @@ def test_voice_converter_wav_to_wav(tmp_path):
         assert np.isfinite(entry["mel"]).all()
         assert entry["wav"].ndim == 1 and np.isfinite(entry["wav"]).all()
 
+    # pcm16 wiring (the cli/serve path): int16 wavs, same lengths,
+    # device quantization within 1 LSB of the float path's host
+    # quantization (vocoder._peak_norm_pcm16 rounds; astype truncates)
+    out16 = vc.convert_wav_files(
+        str(tmp_path / "src.wav"), str(tmp_path / "trg.wav"),
+        conditions=("R", "U"), synthesize=True, pcm16=True,
+    )
+    for condition, entry in out16.items():
+        w16, wf = entry["wav"], out[condition]["wav"]
+        assert w16.dtype == np.int16 and len(w16) == len(wf)
+        host = (wf * 32767).astype(np.int16)
+        assert (
+            np.abs(w16.astype(np.int32) - host.astype(np.int32)).max()
+            <= 1
+        )
+
 
 @pytest.mark.slow
 def test_solver_validation_and_render(tmp_path):
