@@ -70,6 +70,13 @@ def test_voice_converter_wav_to_wav(tmp_path):
         conditions=("R", "U"), synthesize=True, pcm16=True,
     )
     for condition, entry in out16.items():
+        # determinism contract: identical calls give identical
+        # conversions (the dither key is fixed, not split per call —
+        # the reference preprocessing is deterministic too,
+        # make_spect_f0.py:47)
+        np.testing.assert_array_equal(
+            entry["mel"], out[condition]["mel"]
+        )
         w16, wf = entry["wav"], out[condition]["wav"]
         assert w16.dtype == np.int16 and len(w16) == len(wf)
         host = (wf * 32767).astype(np.int16)
