@@ -206,12 +206,15 @@ def _lstm_direction(
         batch, hidden
     ):
         xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H] time-major
-        # x_proj is already f32 (the input projection accumulates in f32);
-        # only the recurrent weight is carried at compute precision — the
-        # kernel casts h to w_hh's dtype per step, mirroring the scan cell.
+        # x_proj accumulates in f32; the stream dtype rounds it to bf16
+        # only when compute AND residuals are both bf16 (the cast fuses
+        # into the projection epilogue, halving the kernel's dominant
+        # input stream — see pallas_lstm.stream_dtype). The recurrent
+        # weight is carried at compute precision; the kernel casts h to
+        # w_hh's dtype per step, mirroring the scan cell.
         hs = pallas_lstm.lstm_sequence(
-            xs.astype(jnp.float32), w_hh.astype(dtype), residual_dtype,
-            reverse,
+            xs.astype(pallas_lstm.stream_dtype(dtype, residual_dtype)),
+            w_hh.astype(dtype), residual_dtype, reverse,
         )
         return jnp.swapaxes(hs, 0, 1)
 
@@ -369,10 +372,29 @@ class LSTM(nn.Module):
                         p_b[1].astype(w_dtype),
                         self.residual_dtype,
                     )
+                elif pallas_lstm.LAYER_VJP == "on":
+                    # layer-level custom VJP: projection + recurrence
+                    # in one op — identical forward, backward consumes
+                    # the dxp stream at the residual dtype with no
+                    # boundary convert (pallas_lstm.bilstm_layer)
+                    hs_f, hs_b = pallas_lstm.bilstm_layer(
+                        x.astype(w_dtype),
+                        p_f[0].astype(w_dtype),
+                        p_b[0].astype(w_dtype),
+                        p_f[2], p_b[2],
+                        p_f[1].astype(w_dtype),
+                        p_b[1].astype(w_dtype),
+                        self.residual_dtype,
+                    )
                 else:
+                    # stream dtype: bf16 xp feed when compute AND
+                    # residuals are bf16 (pallas_lstm.stream_dtype)
+                    sd = pallas_lstm.stream_dtype(
+                        w_dtype, self.residual_dtype
+                    )
                     hs_f, hs_b = pallas_lstm.bilstm_sequence(
-                        project(x, p_f[0], p_f[2]),
-                        project(x, p_b[0], p_b[2]),
+                        project(x, p_f[0], p_f[2]).astype(sd),
+                        project(x, p_b[0], p_b[2]).astype(sd),
                         p_f[1].astype(w_dtype),
                         p_b[1].astype(w_dtype),
                         self.residual_dtype,

@@ -30,7 +30,7 @@ checks in interpret mode).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -81,6 +81,60 @@ RESIDUAL_DTYPE = jnp.bfloat16
 
 def _resolve_residual(residual_dtype):
     return RESIDUAL_DTYPE if residual_dtype is None else residual_dtype
+
+
+# Gradient-stream dtype: the bwd kernels' dxp output ([T, B, 4H] f32
+# per direction) is the single largest byte stream in the backward
+# grids — at decoder geometry (T=192, B=16, 4H=2048) the two dxp
+# writes are ~50 MB of a ~88 MB grid, and the kernels sit at the HBM
+# roofline (BENCHMARKS.md device profiles). When the saved residuals
+# are bfloat16 (the default), d_pre is already derived from
+# bf16-rounded gates, and its dominant consumer `_dw_contract` casts
+# it to bf16 anyway — so storing dxp in bf16 halves the stream while
+# changing dW_hh/dW_ih-on-the-bf16-path numerics not at all (same
+# bits after the cast) and adding only one more 2^-8-relative rounding
+# to dx/db. The in-kernel dh/dc carry chain still propagates the
+# UNROUNDED f32 d_pre, so the rounding does not compound across
+# timesteps. f32-residual mode keeps f32 dxp — the bit-parity-with-
+# scan escape hatch and parity-test mode. The flag pins the f32
+# stream for A/B. Measured (round 3, BENCHMARKS.md "Gradient/xp
+# stream dtype"): -1.6% step @B16 f32, -6.6% @B40 bf16; losses equal
+# to 5-6 decimals.
+GRAD_STREAM_FOLLOWS_RESIDUAL = True
+
+# xp-stream dtype (the companion forward-side lever): the kernels have
+# always streamed the pre-projected inputs in f32 ([T, B, 4H] per
+# direction — the fwd grids' dominant input bytes) even under
+# compute_dtype=bfloat16, because the projection accumulates in f32.
+# When BOTH the compute and residual dtypes are bf16, rounding xp to
+# bf16 before the recurrence adds one 2^-8-relative rounding to values
+# the mode already rounds everywhere else, halves the fwd streams, and
+# makes bf16 the NATURAL cotangent dtype for dxp (the astype at the
+# custom-vjp boundary becomes a no-op). f32 compute keeps f32 xp — the
+# forward numerics of the f32 path are untouched. Measured (round 3,
+# BENCHMARKS.md "Gradient/xp stream dtype"): on top of the bf16 dxp
+# stream, -2.1% at B40 bf16 (8.82 -> 8.63 ms/step) and ~-0.3% at B16
+# bf16; identical losses to 5 decimals.
+XP_STREAM_FOLLOWS_COMPUTE = True
+
+
+def _grad_stream_dtype(residual_dtype):
+    rd = _resolve_residual(residual_dtype)
+    if GRAD_STREAM_FOLLOWS_RESIDUAL and rd == jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def stream_dtype(compute_dtype, residual_dtype) -> Any:
+    """dtype for the xp streams models feed to these kernels."""
+    rd = _resolve_residual(residual_dtype)
+    if (
+        XP_STREAM_FOLLOWS_COMPUTE
+        and compute_dtype == jnp.bfloat16
+        and rd == jnp.bfloat16
+    ):
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def _vmem_params(bound_bytes: float):
@@ -299,7 +353,7 @@ def _bwd_kernel(
         ],
         axis=-1,
     )
-    dxp_ref[0] = d_pre
+    dxp_ref[0] = d_pre.astype(dxp_ref.dtype)
     # carry to the previous processing step (dW_hh is NOT accumulated
     # here: one big [H, T*B] @ [T*B, 4H] matmul outside the kernel
     # beats 192 skinny [H, B] @ [B, 4H] accumulations on the MXU)
@@ -310,11 +364,13 @@ def _bwd_kernel(
     dc_st[:] = dc * f
 
 
-@functools.partial(jax.jit, static_argnames=("reverse",))
-def _bwd_call(dh_out, gates, c, w_hh, reverse: bool = False):
+@functools.partial(jax.jit, static_argnames=("reverse", "dx_dtype"))
+def _bwd_call(dh_out, gates, c, w_hh, reverse: bool = False,
+              dx_dtype=jnp.float32):
     """Grad recurrence: walks the OPPOSITE of the forward processing
     order — descending real time for a forward-direction LSTM,
-    ascending for a reverse-direction one."""
+    ascending for a reverse-direction one. ``dx_dtype`` sets the
+    stored d(gates_pre) precision (see _grad_stream_dtype)."""
     t, b, four_h = gates.shape
     h_dim = four_h // 4
     if reverse:
@@ -339,7 +395,7 @@ def _bwd_call(dh_out, gates, c, w_hh, reverse: bool = False):
         out_specs=pl.BlockSpec(
             (1, b, four_h), walk, memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, b, four_h), dx_dtype),
         scratch_shapes=[
             pltpu.VMEM((b, h_dim), jnp.float32),
             pltpu.VMEM((b, h_dim), jnp.float32),
@@ -377,7 +433,9 @@ def _vjp_fwd(x_proj, w_hh, residual_dtype, reverse):
         residual_dtype=_resolve_residual(residual_dtype),
         reverse=reverse,
     )
-    return h, (gates, c, h, w_hh)
+    # x_proj[:0] is a zero-byte dtype tag: the bwd rule must return the
+    # xp cotangent in the PRIMAL's dtype (bf16 under stream_dtype)
+    return h, (gates, c, h, w_hh, x_proj[:0])
 
 
 def _dw_contract(h_slice, dx_slice, w, residual_dtype):
@@ -403,8 +461,11 @@ def _dw_contract(h_slice, dx_slice, w, residual_dtype):
 
 
 def _vjp_bwd(residual_dtype, reverse, residuals, dh_out):
-    gates, c, h, w_hh = residuals
-    dxp = _bwd_call(dh_out, gates, c, w_hh, reverse=reverse)
+    gates, c, h, w_hh, xtag = residuals
+    dxp = _bwd_call(
+        dh_out, gates, c, w_hh, reverse=reverse,
+        dx_dtype=_grad_stream_dtype(residual_dtype),
+    )
     # dW_hh = sum_t h_prev[t]^T @ dxp[t] as one large contraction over
     # contiguous slices (processing predecessor: t-1 fwd / t+1 reverse)
     if reverse:
@@ -412,7 +473,10 @@ def _vjp_bwd(residual_dtype, reverse, residuals, dh_out):
     else:
         h_sl, dx_sl = h[:-1], dxp[1:]
     dwhh = _dw_contract(h_sl, dx_sl, w_hh, residual_dtype)
-    return dxp, dwhh
+    # cotangent dtype must match the primal's; when they differ (bf16
+    # stream under an f32 primal) the convert fuses into the
+    # projection-VJP consumers, so the HBM reads stay bf16
+    return dxp.astype(xtag.dtype), dwhh
 
 
 lstm_sequence.defvjp(_vjp_fwd, _vjp_bwd)
@@ -713,7 +777,7 @@ def _bd_bwd_kernel(
             dhf_ref[k], gf_ref[k], cf_ref[k], cpf, wf_ref[:],
             dhf_st[:], dcf_st[:],
         )
-        dxf_ref[k] = d_pre
+        dxf_ref[k] = d_pre.astype(dxf_ref.dtype)
         dhf_st[:], dcf_st[:] = dh, dc
 
         # backward stream, rows front to back (real t ascending); its
@@ -729,12 +793,13 @@ def _bd_bwd_kernel(
             dhb_ref[kb], gb_ref[kb], cb_ref[kb], cpb, wb_ref[:],
             dhb_st[:], dcb_st[:],
         )
-        dxb_ref[kb] = d_pre
+        dxb_ref[kb] = d_pre.astype(dxb_ref.dtype)
         dhb_st[:], dcb_st[:] = dh, dc
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b):
+@functools.partial(jax.jit, static_argnames=("dx_dtype",))
+def _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b,
+                 dx_dtype=jnp.float32):
     t, b, four_h = g_f.shape
     h_dim = four_h // 4
     fold = _fold_for(t, b, h_dim)
@@ -764,8 +829,8 @@ def _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b):
         ],
         out_specs=[bxf, bxb],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, four_h), dx_dtype),
+            jax.ShapeDtypeStruct((t, b, four_h), dx_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
@@ -797,14 +862,18 @@ def _bd_vjp_fwd(xp_f, xp_b, w_f, w_b, residual_dtype):
         xp_f, xp_b, w_f, w_b,
         residual_dtype=_resolve_residual(residual_dtype),
     )
-    return (h_f, h_b), (g_f, g_b, c_f, c_b, h_f, h_b, w_f, w_b)
+    # xp_f[:0]: zero-byte dtype tag for the cotangent (see _vjp_fwd)
+    return (h_f, h_b), (
+        g_f, g_b, c_f, c_b, h_f, h_b, w_f, w_b, xp_f[:0]
+    )
 
 
 def _bd_vjp_bwd(residual_dtype, residuals, grads):
-    g_f, g_b, c_f, c_b, h_f, h_b, w_f, w_b = residuals
+    g_f, g_b, c_f, c_b, h_f, h_b, w_f, w_b, xtag = residuals
     dh_f, dh_b = grads
     dx_f, dx_b = _bd_bwd_call(
-        dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b
+        dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b,
+        dx_dtype=_grad_stream_dtype(residual_dtype),
     )
     # dW_hh = sum_t h_prev[t]^T dxp[t]; with everything in real time
     # order the predecessor is h[t-1] for the forward direction and
@@ -814,10 +883,123 @@ def _bd_vjp_bwd(residual_dtype, residuals, grads):
     # the residual dtype (see _dw_contract)
     dw_f = _dw_contract(h_f[:-1], dx_f[1:], w_f, residual_dtype)
     dw_b = _dw_contract(h_b[1:], dx_b[:-1], w_b, residual_dtype)
-    return dx_f, dx_b, dw_f, dw_b
+    # cotangent dtype must match the primals'; when they differ (bf16
+    # stream under f32 primals) the converts fuse into the
+    # projection-VJP consumers, so the HBM reads stay bf16
+    return (
+        dx_f.astype(xtag.dtype), dx_b.astype(xtag.dtype), dw_f, dw_b
+    )
 
 
 bilstm_sequence.defvjp(_bd_vjp_fwd, _bd_vjp_bwd)
+
+
+# --------------------------- layer-level op: projection + merged bidir
+#
+# AD of the project-then-``bilstm_sequence`` composition has two costs
+# the op below removes without touching forward numerics:
+#   1. the xp cotangent crosses the custom-vjp dtype boundary (it must
+#      match the f32 primal), so the bf16 dxp stream is converted back
+#      to f32 between the grad kernel and the projection VJP;
+#   2. the projection VJP matmuls (dW_ih = x^T dxp, dx = dxp W_ih^T,
+#      six of each per mel-decoder step) run at the COMPUTE dtype — at
+#      f32 compute they sit on the f32 MXU path even though the
+#      residual policy already rounds their dxp operand to bf16 (the
+#      same asymmetry _dw_contract fixed for dW_hh in round 2).
+# ``bilstm_layer`` spans projection + recurrence in ONE custom_vjp:
+# the forward is IDENTICAL XLA (projection matmul in the compute
+# dtype, f32 accumulation, then the merged-bidir kernel); the backward
+# consumes the kernel's dxp stream directly at the grad-stream dtype
+# and runs dW_ih/dx at the residual dtype. residual_dtype=float32
+# keeps every contraction f32 — the exactness mode.
+
+# A/B pin: "on" routes LSTM's merged path through bilstm_layer;
+# "off" keeps the round-3 project-then-bilstm_sequence composition.
+# Default OFF until the hardware A/B lands (PROJ_FUSION discipline);
+# interpret-mode parity is already pinned either way
+# (tests/test_pallas_bilstm.py::test_layer_vjp_matches_composed_path).
+LAYER_VJP = "off"
+
+
+def _project_xla(x, wi, b):
+    """x [T,B,I] @ wi [I,4H] + b, f32 accumulation — identical math to
+    models/layers.py ``project`` (caller pre-casts x/wi to the compute
+    dtype)."""
+    return jnp.dot(x, wi, preferred_element_type=jnp.float32) + b
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def bilstm_layer(
+    x: Array,
+    wi_f: Array, wi_b: Array,
+    b_f: Array, b_b: Array,
+    w_f: Array, w_b: Array,
+    residual_dtype=None,
+):
+    """One BiLSTM layer: input projection (XLA) + merged-bidir kernel.
+
+    x: [T, B, I] layer input in the compute dtype; wi_f/wi_b [I, 4H]
+    input projections (compute dtype); b_f/b_b [4H] f32 summed biases
+    (b_ih + b_hh); w_f/w_b [H, 4H] recurrent weights. Returns
+    (h_f [T,B,H], h_b [T,B,H]) in real time order. Forward numerics
+    are identical to project-then-``bilstm_sequence`` (same GEMMs,
+    same kernels, same stream dtypes); only the backward's dtype
+    boundaries differ (see the section comment above).
+    """
+    sd = stream_dtype(wi_f.dtype, residual_dtype)
+    xp_f = _project_xla(x, wi_f, b_f).astype(sd)
+    xp_b = _project_xla(x, wi_b, b_b).astype(sd)
+    return _bd_infer(xp_f, xp_b, w_f, w_b)
+
+
+def _layer_vjp_fwd(x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype):
+    sd = stream_dtype(wi_f.dtype, residual_dtype)
+    xp_f = _project_xla(x, wi_f, b_f).astype(sd)
+    xp_b = _project_xla(x, wi_b, b_b).astype(sd)
+    h_f, h_b, g_f, g_b, c_f, c_b = _bd_fwd(
+        xp_f, xp_b, w_f, w_b,
+        residual_dtype=_resolve_residual(residual_dtype),
+    )
+    # x is saved exactly as plain AD would save it for the projection
+    # VJP — no extra residual traffic vs the unfused composition
+    return (h_f, h_b), (
+        g_f, g_b, c_f, c_b, h_f, h_b, x, wi_f, wi_b, w_f, w_b
+    )
+
+
+def _layer_vjp_bwd(residual_dtype, residuals, grads):
+    g_f, g_b, c_f, c_b, h_f, h_b, x, wi_f, wi_b, w_f, w_b = residuals
+    dh_f, dh_b = grads
+    dx_f, dx_b = _bd_bwd_call(
+        dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b,
+        dx_dtype=_grad_stream_dtype(residual_dtype),
+    )
+    t, b, four_h = g_f.shape
+    i_dim = x.shape[-1]
+    rd = _resolve_residual(residual_dtype)
+
+    dw_f = _dw_contract(h_f[:-1], dx_f[1:], w_f, residual_dtype)
+    dw_b = _dw_contract(h_b[1:], dx_b[:-1], w_b, residual_dtype)
+    # projection grads at the residual dtype (same policy as dW_hh):
+    # with bf16 residuals these are bf16-MXU matmuls over the bf16 dxp
+    # stream as stored — no convert in between
+    dwi_f = _dw_contract(x, dx_f, wi_f, residual_dtype)
+    dwi_b = _dw_contract(x, dx_b, wi_b, residual_dtype)
+    db_f = dx_f.astype(jnp.float32).sum(axis=(0, 1))
+    db_b = dx_b.astype(jnp.float32).sum(axis=(0, 1))
+
+    def dxin(dxp, wi):
+        return jax.lax.dot_general(
+            dxp.reshape(t * b, four_h).astype(rd), wi.astype(rd),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(t, b, i_dim)
+
+    dx = (dxin(dx_f, wi_f) + dxin(dx_b, wi_b)).astype(x.dtype)
+    return dx, dwi_f, dwi_b, db_f, db_b, dw_f, dw_b
+
+
+bilstm_layer.defvjp(_layer_vjp_fwd, _layer_vjp_bwd)
 
 
 # ------------------------------------- merged bidir, fused input projection
@@ -1123,7 +1305,10 @@ def _bdp_vjp_bwd(residual_dtype, residuals, grads):
     dh_f, dh_b = grads
     # same grad kernel as the unfused path — it consumes gate/c
     # residuals and produces d(gates_pre) per direction
-    dx_f, dx_b = _bd_bwd_call(dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b)
+    dx_f, dx_b = _bd_bwd_call(
+        dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b,
+        dx_dtype=_grad_stream_dtype(residual_dtype),
+    )
     t, b, four_h = g_f.shape
     i_dim = x.shape[-1]
 
@@ -1138,14 +1323,15 @@ def _bdp_vjp_bwd(residual_dtype, residuals, grads):
 
     def dxin(dxp, wi):
         return jax.lax.dot_general(
-            dxp.reshape(t * b, four_h), wi,
+            dxp.reshape(t * b, four_h).astype(wi.dtype), wi,
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(t, b, i_dim)
 
     dwi_f, dwi_b = dwi(dx_f, wi_f), dwi(dx_b, wi_b)
-    db_f = dx_f.sum(axis=(0, 1)).astype(jnp.float32)
-    db_b = dx_b.sum(axis=(0, 1)).astype(jnp.float32)
+    # f32 accumulation for the bias reduction regardless of dxp dtype
+    db_f = dx_f.astype(jnp.float32).sum(axis=(0, 1))
+    db_b = dx_b.astype(jnp.float32).sum(axis=(0, 1))
     dx = (dxin(dx_f, wi_f) + dxin(dx_b, wi_b)).astype(x.dtype)
     return dx, dwi_f, dwi_b, db_f, db_b, dw_f, dw_b
 

@@ -19,11 +19,13 @@ def _interpret_mode():
     pallas_lstm.FORCE_INTERPRET = True
     prev = pallas_lstm.RESIDUAL_DTYPE
     prev_fuse = pallas_lstm.PROJ_FUSION
+    prev_layer = pallas_lstm.LAYER_VJP
     pallas_lstm.RESIDUAL_DTYPE = jnp.float32  # exact-parity comparisons
     yield
     pallas_lstm.FORCE_INTERPRET = False
     pallas_lstm.RESIDUAL_DTYPE = prev
     pallas_lstm.PROJ_FUSION = prev_fuse
+    pallas_lstm.LAYER_VJP = prev_layer
 
 
 def test_bilstm_layer_matches_scan_path(rng):
@@ -141,6 +143,65 @@ def test_bilstm_layer_gradients_match(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5
         )
+
+
+def test_layer_vjp_matches_composed_path(rng):
+    """bilstm_layer (one custom_vjp spanning projection + recurrence)
+    vs the project-then-bilstm_sequence composition: identical values
+    and — in f32-residual mode — matching gradients for every param."""
+    x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+    lstm = LSTM(hidden_size=H, num_layers=2, bidirectional=True)
+    params = lstm.init(jax.random.PRNGKey(8), x)
+    target = jnp.asarray(rng.randn(B, T, 2 * H).astype(np.float32))
+
+    def loss(p, mode):
+        pallas_lstm.LAYER_VJP = mode
+        try:
+            return jnp.mean(jnp.square(lstm.apply(p, x) - target))
+        finally:
+            pallas_lstm.LAYER_VJP = "on"
+
+    out_layer = lstm.apply(params, x)
+    pallas_lstm.LAYER_VJP = "off"
+    try:
+        out_composed = lstm.apply(params, x)
+    finally:
+        pallas_lstm.LAYER_VJP = "on"
+    np.testing.assert_allclose(
+        np.asarray(out_layer), np.asarray(out_composed), atol=1e-6
+    )
+
+    g_layer = jax.grad(lambda p: loss(p, "on"))(params)
+    g_composed = jax.grad(lambda p: loss(p, "off"))(params)
+    for a, b in zip(jax.tree.leaves(g_layer), jax.tree.leaves(g_composed)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        )
+
+
+def test_layer_vjp_bf16_residual_grads_close(rng):
+    """Default bf16-residual mode through bilstm_layer: bf16 dxp stream
+    + residual-dtype projection grads stay within mixed-precision
+    tolerance of the exact path."""
+    x = jnp.asarray(rng.randn(B, T, I).astype(np.float32))
+    lstm = LSTM(hidden_size=H, num_layers=1, bidirectional=True,
+                residual_dtype=jnp.float32)
+    lstm_bf = LSTM(hidden_size=H, num_layers=1, bidirectional=True,
+                   residual_dtype=jnp.bfloat16)
+    params = lstm.init(jax.random.PRNGKey(9), x)
+    target = jnp.asarray(rng.randn(B, T, 2 * H).astype(np.float32))
+
+    def loss(module):
+        return lambda p: jnp.mean(
+            jnp.square(module.apply(p, x) - target)
+        )
+
+    g_exact = jax.grad(loss(lstm))(params)
+    g_bf16 = jax.grad(loss(lstm_bf))(params)
+    for a, b in zip(jax.tree.leaves(g_exact), jax.tree.leaves(g_bf16)):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / denom < 0.02
 
 
 def test_fused_projection_matches_unfused(rng):

@@ -157,6 +157,76 @@ def test_bf16_weight_gradients_close_to_f32():
         assert np.abs(a - b).max() / denom < 0.03
 
 
+def test_stream_dtype_rule():
+    """xp streams go bf16 only when the flag is on AND compute AND
+    residuals are bf16."""
+    sd = pallas_lstm.stream_dtype
+    prev = pallas_lstm.XP_STREAM_FOLLOWS_COMPUTE
+    try:
+        pallas_lstm.XP_STREAM_FOLLOWS_COMPUTE = True
+        assert sd(jnp.float32, jnp.float32) == jnp.float32
+        assert sd(jnp.float32, jnp.bfloat16) == jnp.float32
+        assert sd(jnp.bfloat16, jnp.float32) == jnp.float32
+        assert sd(jnp.bfloat16, jnp.bfloat16) == jnp.bfloat16
+        # None resolves to the module default (f32 under this fixture)
+        assert sd(jnp.bfloat16, None) == jnp.float32
+        pallas_lstm.XP_STREAM_FOLLOWS_COMPUTE = False
+        assert sd(jnp.bfloat16, jnp.bfloat16) == jnp.float32
+    finally:
+        pallas_lstm.XP_STREAM_FOLLOWS_COMPUTE = prev
+
+
+def test_bf16_stream_forward_and_gradients_close():
+    """Full bf16 stream mode (bf16 xp feed + bf16 residuals + bf16 dxp):
+    forward and gradients stay within mixed-precision tolerance of the
+    f32 path, and the xp cotangent is bf16 (the natural stream dtype —
+    no convert at the custom-vjp boundary)."""
+    x_proj, w_hh = _inputs(10)
+    target = jnp.asarray(
+        np.random.RandomState(11).randn(T, B, H).astype(np.float32)
+    )
+
+    def loss(xp, w):
+        return jnp.mean(
+            jnp.square(pallas_lstm.lstm_sequence(xp, w) - target)
+        )
+
+    f32_fwd = np.asarray(pallas_lstm.lstm_sequence(x_proj, w_hh))
+    g32 = jax.grad(loss, argnums=(0, 1))(x_proj, w_hh)
+
+    pallas_lstm.RESIDUAL_DTYPE = jnp.bfloat16
+    try:
+        xb = x_proj.astype(jnp.bfloat16)
+        wb = w_hh.astype(jnp.bfloat16)
+        fwd16 = np.asarray(pallas_lstm.lstm_sequence(xb, wb))
+        g16 = jax.grad(loss, argnums=(0, 1))(xb, wb)
+    finally:
+        pallas_lstm.RESIDUAL_DTYPE = jnp.float32
+
+    assert g16[0].dtype == jnp.bfloat16  # cotangent matches primal
+    assert g16[1].dtype == jnp.bfloat16
+    assert np.abs(fwd16 - f32_fwd).max() < 0.05
+    for a, b in zip(g32, g16):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / denom < 0.05
+
+
+def test_f32_residuals_keep_f32_grad_stream():
+    """The bit-parity escape hatch: f32 residuals must keep the f32
+    dxp stream regardless of the follow-residual flag."""
+    x_proj, w_hh = _inputs(12)
+
+    def loss(xp, w):
+        return jnp.mean(jnp.square(pallas_lstm.lstm_sequence(xp, w)))
+
+    g = jax.grad(loss, argnums=(0, 1))(x_proj, w_hh)
+    assert g[0].dtype == jnp.float32
+    assert pallas_lstm._grad_stream_dtype(jnp.float32) == jnp.float32
+    assert pallas_lstm._grad_stream_dtype(jnp.bfloat16) == jnp.bfloat16
+
+
 def test_supported_predicate():
     assert pallas_lstm.supported(8, 128)
     assert pallas_lstm.supported(16, 512)
