@@ -117,6 +117,61 @@ GRAD_STREAM_FOLLOWS_RESIDUAL = True
 # bf16; identical losses to 5 decimals.
 XP_STREAM_FOLLOWS_COMPUTE = True
 
+# dh cotangent stream dtype (the third stream lever): after the dxp
+# and xp levers, the incoming dh cotangents ([T, B, H] f32 per
+# direction) are the backward grids' largest remaining f32 stream —
+# at decoder geometry in bf16-residual mode they are ~16 of ~34
+# H-bytes/(T,B) of grad-grid traffic (gates 8, c 2, dxp out 8).
+# Rounding them to bf16 at the custom-vjp boundary adds one
+# 2^-8-relative rounding to a cotangent the bf16 mode already derives
+# from rounded operands, and the convert fuses into the upstream
+# producer (the layer-above's projection-VJP dx matmul or the loss
+# head), so the [T, B, H] HBM write itself becomes bf16 — the read
+# AND the write halve. The in-kernel dh/dc carry chain stays f32 and
+# dh_out is folded in once per cell, so the rounding does not
+# compound across timesteps. f32-residual mode keeps f32 dh — the
+# bit-parity-with-scan escape hatch and parity-test mode. Measured
+# (round 3 continued, BENCHMARKS.md "Gradient/xp stream dtype"):
+# see the dh-stream rows there.
+DH_STREAM_FOLLOWS_RESIDUAL = True
+
+# h output stream dtype (the fourth stream lever): in full-bf16 mode
+# every consumer of the kernels' h outputs rounds them to bf16 anyway
+# — the next layer's ``project`` and the output LinearNorm cast inputs
+# to the compute dtype (models/layers.py project), and ``_dw_contract``
+# casts its h operand to the residual dtype. Emitting h from the grid
+# already rounded is therefore forward-BIT-IDENTICAL in that mode
+# (the recurrence carry h_st stays f32 in VMEM; only the HBM block
+# write rounds, with the same 2^-8 rounding the consumers applied),
+# while halving the fwd grids' h writes (~2 of ~22 H-bytes per
+# direction per (T,B)), the dW/dW_ih contraction reads, and making
+# bf16 the NATURAL dh cotangent dtype (the primal's dtype defines it —
+# no convert at the custom-vjp boundary at all). Same gate as the xp
+# lever: compute AND residuals both bf16; f32 compute keeps f32 h so
+# f32 forward numerics are untouched. Measured (round 3 continued,
+# BENCHMARKS.md "Gradient/xp stream dtype"): see the h-stream rows.
+H_STREAM_FOLLOWS_COMPUTE = True
+
+
+def _dh_stream_dtype(residual_dtype):
+    rd = _resolve_residual(residual_dtype)
+    if DH_STREAM_FOLLOWS_RESIDUAL and rd == jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _h_stream_dtype(compute_dtype, residual_dtype):
+    """dtype for the kernels' h output stream (compute_dtype is the
+    recurrent weights' dtype — models cast w_hh to the compute dtype)."""
+    rd = _resolve_residual(residual_dtype)
+    if (
+        H_STREAM_FOLLOWS_COMPUTE
+        and compute_dtype == jnp.bfloat16
+        and rd == jnp.bfloat16
+    ):
+        return jnp.bfloat16
+    return jnp.float32
+
 
 def _grad_stream_dtype(residual_dtype):
     rd = _resolve_residual(residual_dtype)
@@ -203,7 +258,7 @@ def _fwd_kernel(xp_ref, whh_ref, h_ref, gates_ref, c_ref, h_st, c_st):
         gates_ref.dtype
     )
     c_ref[0] = c.astype(c_ref.dtype)
-    h_ref[0] = h
+    h_ref[0] = h.astype(h_ref.dtype)
     h_st[:] = h
     c_st[:] = c
 
@@ -224,7 +279,7 @@ def _infer_kernel(xp_ref, whh_ref, h_ref, h_st, c_st):
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     c = jax.nn.sigmoid(f) * c_st[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
     h = jax.nn.sigmoid(o) * jnp.tanh(c)
-    h_ref[0] = h
+    h_ref[0] = h.astype(h_ref.dtype)
     h_st[:] = h
     c_st[:] = c
 
@@ -237,8 +292,11 @@ def _sd_maps(t: int, reverse: bool):
     return lambda i: (i, 0, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("reverse",))
-def _infer(x_proj: Array, w_hh: Array, reverse: bool = False) -> Array:
+@functools.partial(jax.jit, static_argnames=("reverse", "h_dtype"))
+def _infer(
+    x_proj: Array, w_hh: Array, reverse: bool = False,
+    h_dtype=jnp.float32,
+) -> Array:
     t, b, four_h = x_proj.shape
     h_dim = four_h // 4
     seq = _sd_maps(t, reverse)
@@ -257,7 +315,7 @@ def _infer(x_proj: Array, w_hh: Array, reverse: bool = False) -> Array:
         out_specs=pl.BlockSpec(
             (1, b, h_dim), seq, memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, b, h_dim), h_dtype),
         scratch_shapes=[
             pltpu.VMEM((b, h_dim), jnp.float32),
             pltpu.VMEM((b, h_dim), jnp.float32),
@@ -268,13 +326,14 @@ def _infer(x_proj: Array, w_hh: Array, reverse: bool = False) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("residual_dtype", "reverse")
+    jax.jit, static_argnames=("residual_dtype", "reverse", "h_dtype")
 )
 def _fwd(
     x_proj: Array,
     w_hh: Array,
     residual_dtype=jnp.float32,
     reverse: bool = False,
+    h_dtype=jnp.float32,
 ) -> Tuple[Array, Array, Array]:
     """x_proj: [T, B, 4H] (pre-projected inputs incl. biases, real time
     order), w_hh [H, 4H]. Returns (h [T,B,H], gates [T,B,4H],
@@ -301,7 +360,7 @@ def _fwd(
             pl.BlockSpec((1, b, h_dim), seq, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), h_dtype),
             jax.ShapeDtypeStruct((t, b, four_h), residual_dtype),
             jax.ShapeDtypeStruct((t, b, h_dim), residual_dtype),
         ],
@@ -334,7 +393,7 @@ def _bwd_kernel(
     )
     c = c_ref[0].astype(jnp.float32)
     tanh_c = jnp.tanh(c)
-    dh = dh_out_ref[0] + dh_st[:]
+    dh = dh_out_ref[0].astype(jnp.float32) + dh_st[:]
     do = dh * tanh_c
     dc = dc_st[:] + dh * o * (1.0 - tanh_c * tanh_c)
     di = dc * g
@@ -422,9 +481,14 @@ def lstm_sequence(
     index maps, so no flipped copies hit HBM). Undifferentiated
     (inference) calls run a lean kernel with no residual outputs; under
     jax.grad the vjp-fwd kernel saves residuals in ``residual_dtype``
-    (None -> module default RESIDUAL_DTYPE).
+    (None -> module default RESIDUAL_DTYPE). In full-bf16 mode the h
+    output itself is emitted bf16 (see _h_stream_dtype — bit-identical
+    downstream, since every consumer casts to the compute dtype).
     """
-    return _infer(x_proj, w_hh, reverse=reverse)
+    return _infer(
+        x_proj, w_hh, reverse=reverse,
+        h_dtype=_h_stream_dtype(w_hh.dtype, residual_dtype),
+    )
 
 
 def _vjp_fwd(x_proj, w_hh, residual_dtype, reverse):
@@ -432,6 +496,7 @@ def _vjp_fwd(x_proj, w_hh, residual_dtype, reverse):
         x_proj, w_hh,
         residual_dtype=_resolve_residual(residual_dtype),
         reverse=reverse,
+        h_dtype=_h_stream_dtype(w_hh.dtype, residual_dtype),
     )
     # x_proj[:0] is a zero-byte dtype tag: the bwd rule must return the
     # xp cotangent in the PRIMAL's dtype (bf16 under stream_dtype)
@@ -462,8 +527,11 @@ def _dw_contract(h_slice, dx_slice, w, residual_dtype):
 
 def _vjp_bwd(residual_dtype, reverse, residuals, dh_out):
     gates, c, h, w_hh, xtag = residuals
+    # dh stream at the grad dtype: the convert fuses into the upstream
+    # producer, so both its HBM write and the grad kernel's read halve
     dxp = _bwd_call(
-        dh_out, gates, c, w_hh, reverse=reverse,
+        dh_out.astype(_dh_stream_dtype(residual_dtype)),
+        gates, c, w_hh, reverse=reverse,
         dx_dtype=_grad_stream_dtype(residual_dtype),
     )
     # dW_hh = sum_t h_prev[t]^T @ dxp[t] as one large contraction over
@@ -560,14 +628,14 @@ def _bd_fwd_kernel(
     fold = xpf_ref.shape[0]
     for k in range(fold):
         h, c, gates = _cell(xpf_ref[k], wf_ref[:], hf_st[:], cf_st[:])
-        hf_ref[k] = h
+        hf_ref[k] = h.astype(hf_ref.dtype)
         cf_ref[k] = c.astype(cf_ref.dtype)
         gf_ref[k] = gates.astype(gf_ref.dtype)
         hf_st[:], cf_st[:] = h, c
 
         kb = fold - 1 - k  # backward stream walks its block back->front
         h, c, gates = _cell(xpb_ref[kb], wb_ref[:], hb_st[:], cb_st[:])
-        hb_ref[kb] = h
+        hb_ref[kb] = h.astype(hb_ref.dtype)
         cb_ref[kb] = c.astype(cb_ref.dtype)
         gb_ref[kb] = gates.astype(gb_ref.dtype)
         hb_st[:], cb_st[:] = h, c
@@ -623,8 +691,13 @@ def _fold_for(t: int, b: int, h: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("residual_dtype",))
-def _bd_fwd(xp_f, xp_b, w_f, w_b, residual_dtype=jnp.float32):
+@functools.partial(
+    jax.jit, static_argnames=("residual_dtype", "h_dtype")
+)
+def _bd_fwd(
+    xp_f, xp_b, w_f, w_b, residual_dtype=jnp.float32,
+    h_dtype=jnp.float32,
+):
     t, b, four_h = xp_f.shape
     h_dim = four_h // 4
     fold = _fold_for(t, b, h_dim)
@@ -643,8 +716,8 @@ def _bd_fwd(xp_f, xp_b, w_f, w_b, residual_dtype=jnp.float32):
         in_specs=[bxf, bxb, blk_w, blk_w],
         out_specs=[bhf, bhb, bxf, bxb, bhf, bhb],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), h_dtype),
+            jax.ShapeDtypeStruct((t, b, h_dim), h_dtype),
             jax.ShapeDtypeStruct((t, b, four_h), residual_dtype),
             jax.ShapeDtypeStruct((t, b, four_h), residual_dtype),
             jax.ShapeDtypeStruct((t, b, h_dim), residual_dtype),
@@ -673,16 +746,16 @@ def _bd_infer_kernel(
     fold = xpf_ref.shape[0]
     for k in range(fold):
         h, c, _ = _cell(xpf_ref[k], wf_ref[:], hf_st[:], cf_st[:])
-        hf_ref[k] = h
+        hf_ref[k] = h.astype(hf_ref.dtype)
         hf_st[:], cf_st[:] = h, c
         kb = fold - 1 - k
         h, c, _ = _cell(xpb_ref[kb], wb_ref[:], hb_st[:], cb_st[:])
-        hb_ref[kb] = h
+        hb_ref[kb] = h.astype(hb_ref.dtype)
         hb_st[:], cb_st[:] = h, c
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _bd_infer(xp_f, xp_b, w_f, w_b):
+@functools.partial(jax.jit, static_argnames=("h_dtype",))
+def _bd_infer(xp_f, xp_b, w_f, w_b, h_dtype=jnp.float32):
     t, b, four_h = xp_f.shape
     h_dim = four_h // 4
     fold = _fold_for(t, b, h_dim)
@@ -701,8 +774,8 @@ def _bd_infer(xp_f, xp_b, w_f, w_b):
         in_specs=[bxf, bxb, blk_w, blk_w],
         out_specs=[bhf, bhb],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), h_dtype),
+            jax.ShapeDtypeStruct((t, b, h_dim), h_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
@@ -717,7 +790,7 @@ def _cell_bwd(dh_out, g_all, c, c_prev, w, dh_st, dc_st):
     c = c.astype(jnp.float32)
     c_prev = c_prev.astype(jnp.float32)
     tanh_c = jnp.tanh(c)
-    dh = dh_out + dh_st
+    dh = dh_out.astype(jnp.float32) + dh_st
     do = dh * tanh_c
     dc = dc_st + dh * o * (1.0 - tanh_c * tanh_c)
     di = dc * g
@@ -852,15 +925,20 @@ def bilstm_sequence(
     copies in HBM). Returns (h_f [T,B,H], h_b [T,B,H]), both in real
     time order, ready to concatenate. Undifferentiated calls run a lean
     kernel without residual outputs; under jax.grad residuals are saved
-    in ``residual_dtype`` (None -> module default RESIDUAL_DTYPE).
+    in ``residual_dtype`` (None -> module default RESIDUAL_DTYPE). In
+    full-bf16 mode the h outputs are emitted bf16 (_h_stream_dtype).
     """
-    return _bd_infer(xp_f, xp_b, w_f, w_b)
+    return _bd_infer(
+        xp_f, xp_b, w_f, w_b,
+        h_dtype=_h_stream_dtype(w_f.dtype, residual_dtype),
+    )
 
 
 def _bd_vjp_fwd(xp_f, xp_b, w_f, w_b, residual_dtype):
     h_f, h_b, g_f, g_b, c_f, c_b = _bd_fwd(
         xp_f, xp_b, w_f, w_b,
         residual_dtype=_resolve_residual(residual_dtype),
+        h_dtype=_h_stream_dtype(w_f.dtype, residual_dtype),
     )
     # xp_f[:0]: zero-byte dtype tag for the cotangent (see _vjp_fwd)
     return (h_f, h_b), (
@@ -871,8 +949,10 @@ def _bd_vjp_fwd(xp_f, xp_b, w_f, w_b, residual_dtype):
 def _bd_vjp_bwd(residual_dtype, residuals, grads):
     g_f, g_b, c_f, c_b, h_f, h_b, w_f, w_b, xtag = residuals
     dh_f, dh_b = grads
+    # dh streams at the grad dtype (see _dh_stream_dtype)
+    dd = _dh_stream_dtype(residual_dtype)
     dx_f, dx_b = _bd_bwd_call(
-        dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b,
+        dh_f.astype(dd), dh_b.astype(dd), g_f, g_b, c_f, c_b, w_f, w_b,
         dx_dtype=_grad_stream_dtype(residual_dtype),
     )
     # dW_hh = sum_t h_prev[t]^T dxp[t]; with everything in real time
@@ -949,7 +1029,10 @@ def bilstm_layer(
     sd = stream_dtype(wi_f.dtype, residual_dtype)
     xp_f = _project_xla(x, wi_f, b_f).astype(sd)
     xp_b = _project_xla(x, wi_b, b_b).astype(sd)
-    return _bd_infer(xp_f, xp_b, w_f, w_b)
+    return _bd_infer(
+        xp_f, xp_b, w_f, w_b,
+        h_dtype=_h_stream_dtype(w_f.dtype, residual_dtype),
+    )
 
 
 def _layer_vjp_fwd(x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype):
@@ -959,6 +1042,7 @@ def _layer_vjp_fwd(x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype):
     h_f, h_b, g_f, g_b, c_f, c_b = _bd_fwd(
         xp_f, xp_b, w_f, w_b,
         residual_dtype=_resolve_residual(residual_dtype),
+        h_dtype=_h_stream_dtype(w_f.dtype, residual_dtype),
     )
     # x is saved exactly as plain AD would save it for the projection
     # VJP — no extra residual traffic vs the unfused composition
@@ -970,8 +1054,9 @@ def _layer_vjp_fwd(x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype):
 def _layer_vjp_bwd(residual_dtype, residuals, grads):
     g_f, g_b, c_f, c_b, h_f, h_b, x, wi_f, wi_b, w_f, w_b = residuals
     dh_f, dh_b = grads
+    dd = _dh_stream_dtype(residual_dtype)
     dx_f, dx_b = _bd_bwd_call(
-        dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b,
+        dh_f.astype(dd), dh_b.astype(dd), g_f, g_b, c_f, c_b, w_f, w_b,
         dx_dtype=_grad_stream_dtype(residual_dtype),
     )
     t, b, four_h = g_f.shape
@@ -1140,14 +1225,14 @@ def _bdp_fwd_kernel(
     xpb = _proj(xb_ref, wib_ref, bb_ref)
     for k in range(fold):
         h, c, gates = _cell(xpf[k], wf_ref[:], hf_st[:], cf_st[:])
-        hf_ref[k] = h
+        hf_ref[k] = h.astype(hf_ref.dtype)
         cf_ref[k] = c.astype(cf_ref.dtype)
         gf_ref[k] = gates.astype(gf_ref.dtype)
         hf_st[:], cf_st[:] = h, c
 
         kb = fold - 1 - k
         h, c, gates = _cell(xpb[kb], wb_ref[:], hb_st[:], cb_st[:])
-        hb_ref[kb] = h
+        hb_ref[kb] = h.astype(hb_ref.dtype)
         cb_ref[kb] = c.astype(cb_ref.dtype)
         gb_ref[kb] = gates.astype(gb_ref.dtype)
         hb_st[:], cb_st[:] = h, c
@@ -1170,11 +1255,11 @@ def _bdp_infer_kernel(
     xpb = _proj(xb_ref, wib_ref, bb_ref)
     for k in range(fold):
         h, c, _ = _cell(xpf[k], wf_ref[:], hf_st[:], cf_st[:])
-        hf_ref[k] = h
+        hf_ref[k] = h.astype(hf_ref.dtype)
         hf_st[:], cf_st[:] = h, c
         kb = fold - 1 - k
         h, c, _ = _cell(xpb[kb], wb_ref[:], hb_st[:], cb_st[:])
-        hb_ref[kb] = h
+        hb_ref[kb] = h.astype(hb_ref.dtype)
         hb_st[:], cb_st[:] = h, c
 
 
@@ -1207,8 +1292,13 @@ def _bdp_specs(t, b, i_dim, h_dim, w_i_dtype_bytes, x_bytes):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("residual_dtype",))
-def _bdp_fwd(x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype):
+@functools.partial(
+    jax.jit, static_argnames=("residual_dtype", "h_dtype")
+)
+def _bdp_fwd(
+    x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype,
+    h_dtype=jnp.float32,
+):
     t, b, i_dim = x.shape
     h_dim = w_f.shape[0]
     four_h = 4 * h_dim
@@ -1226,8 +1316,8 @@ def _bdp_fwd(x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype):
             s["bhf"], s["bhb"], s["bgf"], s["bgb"], s["bhf"], s["bhb"],
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), h_dtype),
+            jax.ShapeDtypeStruct((t, b, h_dim), h_dtype),
             jax.ShapeDtypeStruct((t, b, four_h), residual_dtype),
             jax.ShapeDtypeStruct((t, b, four_h), residual_dtype),
             jax.ShapeDtypeStruct((t, b, h_dim), residual_dtype),
@@ -1241,8 +1331,8 @@ def _bdp_fwd(x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype):
     )(x, x, wi_f, wi_b, b_f[None, :], b_b[None, :], w_f, w_b)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _bdp_infer(x, wi_f, wi_b, b_f, b_b, w_f, w_b):
+@functools.partial(jax.jit, static_argnames=("h_dtype",))
+def _bdp_infer(x, wi_f, wi_b, b_f, b_b, w_f, w_b, h_dtype=jnp.float32):
     t, b, i_dim = x.shape
     h_dim = w_f.shape[0]
     s = _bdp_specs(
@@ -1257,8 +1347,8 @@ def _bdp_infer(x, wi_f, wi_b, b_f, b_b, w_f, w_b):
         ],
         out_specs=[s["bhf"], s["bhb"]],
         out_shape=[
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
-            jax.ShapeDtypeStruct((t, b, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((t, b, h_dim), h_dtype),
+            jax.ShapeDtypeStruct((t, b, h_dim), h_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, h_dim), jnp.float32) for _ in range(4)
@@ -1287,13 +1377,17 @@ def bilstm_sequence_fused(
     project-then-``bilstm_sequence`` exactly in f32 (same contractions,
     same cells); callers gate via ``fused_proj_plan``.
     """
-    return _bdp_infer(x, wi_f, wi_b, b_f, b_b, w_f, w_b)
+    return _bdp_infer(
+        x, wi_f, wi_b, b_f, b_b, w_f, w_b,
+        h_dtype=_h_stream_dtype(w_f.dtype, residual_dtype),
+    )
 
 
 def _bdp_vjp_fwd(x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype):
     h_f, h_b, g_f, g_b, c_f, c_b = _bdp_fwd(
         x, wi_f, wi_b, b_f, b_b, w_f, w_b,
         residual_dtype=_resolve_residual(residual_dtype),
+        h_dtype=_h_stream_dtype(w_f.dtype, residual_dtype),
     )
     return (h_f, h_b), (
         g_f, g_b, c_f, c_b, h_f, h_b, x, wi_f, wi_b, w_f, w_b
@@ -1305,8 +1399,9 @@ def _bdp_vjp_bwd(residual_dtype, residuals, grads):
     dh_f, dh_b = grads
     # same grad kernel as the unfused path — it consumes gate/c
     # residuals and produces d(gates_pre) per direction
+    dd = _dh_stream_dtype(residual_dtype)
     dx_f, dx_b = _bd_bwd_call(
-        dh_f, dh_b, g_f, g_b, c_f, c_b, w_f, w_b,
+        dh_f.astype(dd), dh_b.astype(dd), g_f, g_b, c_f, c_b, w_f, w_b,
         dx_dtype=_grad_stream_dtype(residual_dtype),
     )
     t, b, four_h = g_f.shape

@@ -225,6 +225,47 @@ def test_f32_residuals_keep_f32_grad_stream():
     assert g[0].dtype == jnp.float32
     assert pallas_lstm._grad_stream_dtype(jnp.float32) == jnp.float32
     assert pallas_lstm._grad_stream_dtype(jnp.bfloat16) == jnp.bfloat16
+    # the dh cotangent stream follows the same rule (and the same
+    # escape hatch: f32 residuals keep the f32 dh stream bit-exact)
+    assert pallas_lstm._dh_stream_dtype(jnp.float32) == jnp.float32
+    assert pallas_lstm._dh_stream_dtype(jnp.bfloat16) == jnp.bfloat16
+    prev = pallas_lstm.DH_STREAM_FOLLOWS_RESIDUAL
+    try:
+        pallas_lstm.DH_STREAM_FOLLOWS_RESIDUAL = False
+        assert pallas_lstm._dh_stream_dtype(jnp.bfloat16) == jnp.float32
+    finally:
+        pallas_lstm.DH_STREAM_FOLLOWS_RESIDUAL = prev
+
+
+def test_h_stream_bf16_is_rounded_f32_output():
+    """The h-stream lever's claimed invariant: in full-bf16 mode the
+    kernel's bf16 h output is BIT-identical to the f32 output rounded
+    to bf16 (the rounding every downstream consumer applies anyway), so
+    flipping H_STREAM_FOLLOWS_COMPUTE cannot change forward numerics."""
+    x_proj, w_hh = _inputs(13)
+    xb = x_proj.astype(jnp.bfloat16)
+    wb = w_hh.astype(jnp.bfloat16)
+    pallas_lstm.RESIDUAL_DTYPE = jnp.bfloat16
+    prev = pallas_lstm.H_STREAM_FOLLOWS_COMPUTE
+    try:
+        pallas_lstm.H_STREAM_FOLLOWS_COMPUTE = False
+        h_f32 = pallas_lstm.lstm_sequence(xb, wb)
+        assert h_f32.dtype == jnp.float32
+        pallas_lstm.H_STREAM_FOLLOWS_COMPUTE = True
+        h_bf16 = pallas_lstm.lstm_sequence(xb, wb)
+        assert h_bf16.dtype == jnp.bfloat16
+    finally:
+        pallas_lstm.H_STREAM_FOLLOWS_COMPUTE = prev
+        pallas_lstm.RESIDUAL_DTYPE = jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(h_f32.astype(jnp.bfloat16), np.float32),
+        np.asarray(h_bf16, np.float32),
+    )
+    # the rule itself: f32 compute or f32 residuals keep f32 h
+    hd = pallas_lstm._h_stream_dtype
+    assert hd(jnp.float32, jnp.bfloat16) == jnp.float32
+    assert hd(jnp.bfloat16, jnp.float32) == jnp.float32
+    assert hd(jnp.bfloat16, jnp.bfloat16) == jnp.bfloat16
 
 
 def test_supported_predicate():
