@@ -259,6 +259,34 @@ def random_utterance(
     )
 
 
+def speaker_formant_sets(
+    n_speakers: int, rng: np.random.RandomState
+) -> List[Tuple[Tuple[float, float], ...]]:
+    """Draw a UNIQUE formant set per speaker (timbre ground truth).
+
+    Each speaker gets its own (F1, F2, F3) resonator cascade, jittered
+    from the vowel prototypes with per-speaker vocal-tract-length-like
+    scaling — so "timbre" is a constant, known property of each
+    synthetic speaker and timbre-conversion quality can be scored
+    against ground truth (QUALITY.md). Keeps F1 < F2 < F3 separated so
+    every set is a plausible vocal tract.
+    """
+    sets = []
+    for s in range(n_speakers):
+        proto = VOWEL_FORMANTS[s % len(VOWEL_FORMANTS)]
+        # vocal-tract-length factor + independent per-formant jitter
+        vtl = float(rng.uniform(0.88, 1.15))
+        fs_ = []
+        prev = 0.0
+        for f, bw in proto:
+            f2 = f * vtl * float(rng.uniform(0.92, 1.08))
+            f2 = max(f2, prev + 250.0)
+            fs_.append((float(f2), float(bw * rng.uniform(0.9, 1.2))))
+            prev = f2
+        sets.append(tuple(fs_))
+    return sets
+
+
 def make_corpus(
     out_dir: str,
     n_utterances: int,
@@ -266,6 +294,7 @@ def make_corpus(
     seed: int = 0,
     duration_s: float = 2.2,
     progress_every: int = 0,
+    distinct_formants: bool = False,
 ) -> List[str]:
     """Write a multi-speaker wav corpus ``out_dir/p<300+s>/u<i>.wav``.
 
@@ -274,7 +303,16 @@ def make_corpus(
     corpus spans the gender-dependent pitch ranges the preprocessing
     pipeline handles (make_spect_f0.py:40-45). Returns the wav paths in
     the deterministic ``data.prepare.list_wavs`` order.
+
+    ``distinct_formants=True`` draws a unique formant set per speaker
+    (:func:`speaker_formant_sets`) and writes the per-speaker ground
+    truth (base F0, formants) to ``out_dir/_speakers.json`` — the
+    disentanglement-evaluation corpus mode (QUALITY.md): pitch identity
+    = base F0, timbre identity = formant set, rhythm/content = the
+    per-utterance segment structure.
     """
+    import json
+
     from scipy.io import wavfile
 
     rng = np.random.RandomState(seed)
@@ -284,6 +322,26 @@ def make_corpus(
             bases.append(float(rng.uniform(95.0, 135.0)))
         else:
             bases.append(float(rng.uniform(175.0, 235.0)))
+    if distinct_formants:
+        formant_sets = speaker_formant_sets(n_speakers, rng)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "_speakers.json"), "w") as fh:
+            json.dump(
+                {
+                    f"p{300 + s}": {
+                        "base_f0": bases[s],
+                        "formants": [list(f) for f in formant_sets[s]],
+                    }
+                    for s in range(n_speakers)
+                },
+                fh,
+                indent=1,
+            )
+    else:
+        formant_sets = [
+            VOWEL_FORMANTS[s % len(VOWEL_FORMANTS)]
+            for s in range(n_speakers)
+        ]
     paths = []
     for i in range(n_utterances):
         s = i % n_speakers
@@ -293,7 +351,7 @@ def make_corpus(
             (seed * 1_000_003 + i) % (2**31 - 1),
             bases[s],
             duration_s=duration_s,
-            formants=VOWEL_FORMANTS[s % len(VOWEL_FORMANTS)],
+            formants=formant_sets[s],
         )
         path = os.path.join(speaker_dir, f"u{i:05d}.wav")
         wavfile.write(

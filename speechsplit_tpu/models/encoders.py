@@ -117,7 +117,12 @@ class F0Encoder(nn.Module):
             residual_dtype=resolve_dtype(cfg.residual_dtype),
         )
 
-    def pre(self, x: Array, train: bool = False) -> Array:
+    def pre(
+        self,
+        x: Array,
+        train: bool = False,
+        example_ids: Optional[Array] = None,
+    ) -> Array:
         cfg = self.config
         batch = x.shape[0]
         full_len = jnp.full((batch,), cfg.max_len_pad, jnp.int32)
@@ -132,6 +137,7 @@ class F0Encoder(nn.Module):
                     max_len_seg=cfg.max_len_seg,
                     max_len_seq=cfg.max_len_seq,
                     max_len_pad=cfg.max_len_pad,
+                    example_ids=example_ids,
                 )
         return x
 
@@ -140,8 +146,15 @@ class F0Encoder(nn.Module):
             outputs, self.config.dim_neck_3, self.config.freq_3
         )
 
-    def __call__(self, x: Array, train: bool = False) -> Array:
-        return self.codes(self.lstm(self.pre(x, train=train)))
+    def __call__(
+        self,
+        x: Array,
+        train: bool = False,
+        example_ids: Optional[Array] = None,
+    ) -> Array:
+        return self.codes(
+            self.lstm(self.pre(x, train=train, example_ids=example_ids))
+        )
 
 
 class ContentPitchEncoder(nn.Module):
@@ -205,7 +218,12 @@ class ContentPitchEncoder(nn.Module):
             residual_dtype=resolve_dtype(cfg.residual_dtype),
         )
 
-    def pre(self, x_f0: Array, train: bool = False):
+    def pre(
+        self,
+        x_f0: Array,
+        train: bool = False,
+        example_ids: Optional[Array] = None,
+    ):
         """Conv/augmentation stacks; returns the (content, pitch) streams."""
         cfg = self.config
         batch = x_f0.shape[0]
@@ -229,6 +247,7 @@ class ContentPitchEncoder(nn.Module):
                     max_len_seg=cfg.max_len_seg,
                     max_len_seq=cfg.max_len_seq,
                     max_len_pad=cfg.max_len_pad,
+                    example_ids=example_ids,
                 )
                 x = joint[:, :, : cfg.dim_enc]
                 f0 = joint[:, :, cfg.dim_enc :]
@@ -241,8 +260,13 @@ class ContentPitchEncoder(nn.Module):
             downsample_codes(pitch, cfg.dim_neck_3, cfg.freq_3),
         )
 
-    def __call__(self, x_f0: Array, train: bool = False):
-        x, f0 = self.pre(x_f0, train=train)
+    def __call__(
+        self,
+        x_f0: Array,
+        train: bool = False,
+        example_ids: Optional[Array] = None,
+    ):
+        x, f0 = self.pre(x_f0, train=train, example_ids=example_ids)
         return self.codes(self.lstm_content(x), self.lstm_pitch(f0))
 
 

@@ -6,7 +6,7 @@ and Generator_6 model.py:324-351 (3,485,849 params).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -85,8 +85,17 @@ class SpeechSplit(nn.Module):
         return self.speaker_encoder(mel)
 
     def __call__(
-        self, x_f0: Array, x_org: Array, c_trg: Array, train: bool = False
+        self,
+        x_f0: Array,
+        x_org: Array,
+        c_trg: Array,
+        train: bool = False,
+        example_ids: Optional[Array] = None,
     ) -> Array:
+        """``example_ids`` names each row's global-batch position for the
+        placement-invariant augmentation stream (see
+        :func:`speechsplit_tpu.ops.interp.random_resample`); train-mode
+        only, default ``arange(B)``."""
         cfg = self.config
         if c_trg.ndim == 3:
             # a reference MEL was passed instead of an embedding:
@@ -112,7 +121,9 @@ class SpeechSplit(nn.Module):
             # INDEPENDENT recurrences (content layer 0, pitch, rhythm)
             # fused into one kernel grid; content layer 1 (which needs
             # layer 0's output) runs after as a normal merged-bidir call.
-            xc, xp = self.encoder_content_pitch.pre(x_f0, train=train)
+            xc, xp = self.encoder_content_pitch.pre(
+                x_f0, train=train, example_ids=example_ids
+            )
             xr = self.encoder_rhythm.pre(x_org)
             s_c = self.encoder_content_pitch.lstm_content(
                 xc, mode="streams", start_layer=0
@@ -138,7 +149,7 @@ class SpeechSplit(nn.Module):
             )
         else:
             codes_content, codes_pitch = self.encoder_content_pitch(
-                x_f0, train=train
+                x_f0, train=train, example_ids=example_ids
             )
             codes_rhythm = self.encoder_rhythm(x_org, None)
 
@@ -181,7 +192,11 @@ class F0Converter(nn.Module):
         self.decoder = F0Decoder(cfg, dtype=self.dtype)
 
     def __call__(
-        self, x_org: Array, f0_trg: Array, train: bool = False
+        self,
+        x_org: Array,
+        f0_trg: Array,
+        train: bool = False,
+        example_ids: Optional[Array] = None,
     ) -> Array:
         cfg = self.config
         batch, t = x_org.shape[0], x_org.shape[1]
@@ -192,7 +207,9 @@ class F0Converter(nn.Module):
                 multi_bilstm_sequence,
             )
 
-            xf = self.encoder_f0.pre(f0_trg, train=train)
+            xf = self.encoder_f0.pre(
+                f0_trg, train=train, example_ids=example_ids
+            )
             xr = self.encoder_rhythm.pre(x_org)
             s_f = self.encoder_f0.lstm(xf, mode="streams")
             s_r = self.encoder_rhythm.lstm(xr, mode="streams")
@@ -210,7 +227,9 @@ class F0Converter(nn.Module):
             )
         else:
             codes_rhythm = self.encoder_rhythm(x_org, None)
-            codes_f0 = self.encoder_f0(f0_trg, train=train)
+            codes_f0 = self.encoder_f0(
+                f0_trg, train=train, example_ids=example_ids
+            )
 
         rhythm = upsample_codes(codes_rhythm, cfg.freq_2)
         pitch = upsample_codes(codes_f0, cfg.freq_3)

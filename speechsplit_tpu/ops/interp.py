@@ -59,6 +59,7 @@ def random_resample(
     max_len_seq: int = 128,
     max_len_pad: int = 192,
     train: bool = True,
+    example_ids: Optional[Array] = None,
 ) -> Array:
     """Randomly time-resample each sequence in a batch, shape-statically.
 
@@ -68,6 +69,14 @@ def random_resample(
       len_seq: ``[B]`` true sequence lengths (int).
       key: PRNG key consumed only in train mode.
       train: in eval mode this is the identity (ref: model.py:382-383).
+      example_ids: ``[B]`` int ids naming each row's position in the
+        GLOBAL batch (default ``arange(B)``). Draws are keyed per example
+        as ``fold_in(key, id)``, which makes the augmentation stream
+        *placement-invariant*: a ``shard_map`` shard holding global rows
+        [4..8) passes ids [4..8) and draws exactly what a single-device
+        or pjit program draws for those rows, so explicit-collective and
+        GSPMD training trajectories coincide (same i.i.d. laws as the
+        reference either way — model.py:392-402 draws fresh per row).
 
     Returns:
       ``[B, max_len_pad, C]`` resampled, zero-padded sequences.
@@ -79,13 +88,18 @@ def random_resample(
     num_seg = max_len_seq // min_len_seg + 1  # ref: model.py:365
     seg_span = max_len_seg * 2  # output indices per segment, ref:389
 
-    k_scale, k_len = jax.random.split(key)
+    if example_ids is None:
+        example_ids = jnp.arange(batch)
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(key, example_ids)
+    k_scale, k_len = jax.vmap(jax.random.split, (0, None), 1)(keys, 2)
     # per-segment resampling factor U(0.5, 1.5)   (ref: model.py:392-393)
-    scales = jax.random.uniform(k_scale, (batch, num_seg)) + 0.5
-    # per-segment length U{min_len_seg .. max_len_seg-1} (ref: 399-402)
-    len_seg = jax.random.randint(
-        k_len, (batch, num_seg), min_len_seg, max_len_seg
+    scales = (
+        jax.vmap(lambda k: jax.random.uniform(k, (num_seg,)))(k_scale) + 0.5
     )
+    # per-segment length U{min_len_seg .. max_len_seg-1} (ref: 399-402)
+    len_seg = jax.vmap(
+        lambda k: jax.random.randint(k, (num_seg,), min_len_seg, max_len_seg)
+    )(k_len)
 
     return resample_fixed(
         x, len_seq, scales, len_seg, max_len_pad=max_len_pad,

@@ -129,11 +129,13 @@ XP_STREAM_FOLLOWS_COMPUTE = True
 # head), so the [T, B, H] HBM write itself becomes bf16 — the read
 # AND the write halve. The in-kernel dh/dc carry chain stays f32 and
 # dh_out is folded in once per cell, so the rounding does not
-# compound across timesteps. f32-residual mode keeps f32 dh — the
-# bit-parity-with-scan escape hatch and parity-test mode. Measured
-# (round 3 continued, BENCHMARKS.md "Gradient/xp stream dtype"):
-# see the dh-stream rows there.
-DH_STREAM_FOLLOWS_RESIDUAL = True
+# compound across timesteps. Same gate as the xp/h levers: compute
+# AND residuals both bf16 (f32-compute or f32-residual modes keep f32
+# dh — the bit-parity-with-scan escape hatch and parity-test mode).
+# Measured (round 4, BENCHMARKS.md "dh/h stream dtype A/B") before
+# any default flip — PROJ_FUSION discipline: byte-halving levers have
+# measured as LOSSES here; never default one on without a hardware A/B.
+DH_STREAM_FOLLOWS_COMPUTE = False
 
 # h output stream dtype (the fourth stream lever): in full-bf16 mode
 # every consumer of the kernels' h outputs rounds them to bf16 anyway
@@ -148,14 +150,23 @@ DH_STREAM_FOLLOWS_RESIDUAL = True
 # bf16 the NATURAL dh cotangent dtype (the primal's dtype defines it —
 # no convert at the custom-vjp boundary at all). Same gate as the xp
 # lever: compute AND residuals both bf16; f32 compute keeps f32 h so
-# f32 forward numerics are untouched. Measured (round 3 continued,
-# BENCHMARKS.md "Gradient/xp stream dtype"): see the h-stream rows.
-H_STREAM_FOLLOWS_COMPUTE = True
+# f32 forward numerics are untouched. Measured (round 4, BENCHMARKS.md
+# "dh/h stream dtype A/B") before any default flip — see the dh lever's
+# discipline note above.
+H_STREAM_FOLLOWS_COMPUTE = False
 
 
-def _dh_stream_dtype(residual_dtype):
+def _dh_stream_dtype(compute_dtype, residual_dtype):
+    """dtype for the incoming dh cotangent stream (compute_dtype is the
+    recurrent weights' dtype, as in _h_stream_dtype). Gated on compute
+    AND residual both bf16 so the shipped f32-compute + bf16-residual
+    default never rounds cotangents its forward kept f32 (ADVICE r3)."""
     rd = _resolve_residual(residual_dtype)
-    if DH_STREAM_FOLLOWS_RESIDUAL and rd == jnp.bfloat16:
+    if (
+        DH_STREAM_FOLLOWS_COMPUTE
+        and compute_dtype == jnp.bfloat16
+        and rd == jnp.bfloat16
+    ):
         return jnp.bfloat16
     return jnp.float32
 
@@ -530,7 +541,7 @@ def _vjp_bwd(residual_dtype, reverse, residuals, dh_out):
     # dh stream at the grad dtype: the convert fuses into the upstream
     # producer, so both its HBM write and the grad kernel's read halve
     dxp = _bwd_call(
-        dh_out.astype(_dh_stream_dtype(residual_dtype)),
+        dh_out.astype(_dh_stream_dtype(w_hh.dtype, residual_dtype)),
         gates, c, w_hh, reverse=reverse,
         dx_dtype=_grad_stream_dtype(residual_dtype),
     )
@@ -950,7 +961,7 @@ def _bd_vjp_bwd(residual_dtype, residuals, grads):
     g_f, g_b, c_f, c_b, h_f, h_b, w_f, w_b, xtag = residuals
     dh_f, dh_b = grads
     # dh streams at the grad dtype (see _dh_stream_dtype)
-    dd = _dh_stream_dtype(residual_dtype)
+    dd = _dh_stream_dtype(w_f.dtype, residual_dtype)
     dx_f, dx_b = _bd_bwd_call(
         dh_f.astype(dd), dh_b.astype(dd), g_f, g_b, c_f, c_b, w_f, w_b,
         dx_dtype=_grad_stream_dtype(residual_dtype),
@@ -1054,7 +1065,7 @@ def _layer_vjp_fwd(x, wi_f, wi_b, b_f, b_b, w_f, w_b, residual_dtype):
 def _layer_vjp_bwd(residual_dtype, residuals, grads):
     g_f, g_b, c_f, c_b, h_f, h_b, x, wi_f, wi_b, w_f, w_b = residuals
     dh_f, dh_b = grads
-    dd = _dh_stream_dtype(residual_dtype)
+    dd = _dh_stream_dtype(w_f.dtype, residual_dtype)
     dx_f, dx_b = _bd_bwd_call(
         dh_f.astype(dd), dh_b.astype(dd), g_f, g_b, c_f, c_b, w_f, w_b,
         dx_dtype=_grad_stream_dtype(residual_dtype),
@@ -1399,7 +1410,7 @@ def _bdp_vjp_bwd(residual_dtype, residuals, grads):
     dh_f, dh_b = grads
     # same grad kernel as the unfused path — it consumes gate/c
     # residuals and produces d(gates_pre) per direction
-    dd = _dh_stream_dtype(residual_dtype)
+    dd = _dh_stream_dtype(w_f.dtype, residual_dtype)
     dx_f, dx_b = _bd_bwd_call(
         dh_f.astype(dd), dh_b.astype(dd), g_f, g_b, c_f, c_b, w_f, w_b,
         dx_dtype=_grad_stream_dtype(residual_dtype),

@@ -134,9 +134,16 @@ def _upcast_batch(batch: Batch) -> Batch:
 
 
 def _augment_inputs(
-    config: SpeechSplitConfig, batch: Batch, key: jax.Array
+    config: SpeechSplitConfig,
+    batch: Batch,
+    key: jax.Array,
+    example_ids: Optional[Array] = None,
 ) -> Array:
-    """Steps 1-3 of the reference hot loop (solver.py:160-163)."""
+    """Steps 1-3 of the reference hot loop (solver.py:160-163).
+
+    ``example_ids`` (global-batch row ids, default ``arange(B)``) keys
+    the augmentation draws per example so sharded and single-device
+    programs draw identically (see ops/interp.py)."""
     x_f0 = jnp.concatenate([batch.mel, batch.f0], axis=-1)  # [B,T,81]
     x_f0 = random_resample(
         x_f0,
@@ -146,6 +153,7 @@ def _augment_inputs(
         max_len_seg=config.max_len_seg,
         max_len_seq=config.max_len_seq,
         max_len_pad=config.max_len_pad,
+        example_ids=example_ids,
     )
     onehot = quantize_f0_onehot(x_f0[:, :, -1], config.dim_f0 - 1)
     return jnp.concatenate([x_f0[:, :, :-1], onehot], axis=-1)
@@ -325,21 +333,23 @@ def make_train_step_shard_map(
     all-reduce, this one spells the SPMD program out with ``shard_map``:
     each device computes the loss/grads of its local batch shard and the
     gradients/loss are combined with an explicit ``jax.lax.pmean`` over
-    the data axis before a replicated Adam update. Augmentation keys are
-    folded per shard, so draws are i.i.d. like the pjit path but not
-    bitwise the same stream. Useful as a scaling reference and for
-    surgical control of collective placement; tested on the 8-device
-    CPU mesh.
+    the data axis before a replicated Adam update. Augmentation draws are
+    keyed per GLOBAL example id (``axis_index * local_b + arange``), so
+    this path follows the SAME trajectory as the pjit / single-device
+    step up to sum-reduction order — asserted in
+    tests/test_shard_map_step.py and the graded ``dryrun_multichip``.
+    Useful as a scaling reference and for surgical control of collective
+    placement; tested on the 8-device CPU mesh.
     """
     from jax.sharding import PartitionSpec as P
 
     tx = make_optimizer(config)
 
-    def loss_fn(params, batch: Batch, key: Array) -> Array:
+    def loss_fn(params, batch: Batch, key: Array, example_ids: Array):
         with jax.default_matmul_precision(config.matmul_precision):
             batch = _upcast_batch(batch)
             k_aug, k_model = jax.random.split(key)
-            x_in = _augment_inputs(config, batch, k_aug)
+            x_in = _augment_inputs(config, batch, k_aug, example_ids)
             # learned speaker mode self-conditions on the utterance's
             # own un-augmented mel (rank-3 c_trg -> SpeakerEncoder)
             c_trg = (
@@ -353,16 +363,23 @@ def make_train_step_shard_map(
                 batch.mel,
                 c_trg,
                 train=True,
+                example_ids=example_ids,
                 rngs={"resample": k_model},
             )
             return jnp.mean(jnp.square(batch.mel - mel_out))
 
     def local_step(state: TrainState, batch: Batch, key: Array):
-        # per-device: local shard loss/grads; each shard draws its own
-        # augmentation stream so the global batch sees i.i.d. draws
+        # per-device: local shard loss/grads. The SAME folded key on
+        # every shard + GLOBAL example ids reproduce the single-device
+        # augmentation draws row for row (placement invariance), so the
+        # pmean'd loss/grads match the global-batch step up to
+        # reduction order.
         key = jax.random.fold_in(key, state.step)
-        key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        local_b = batch.mel.shape[0]
+        ids = jax.lax.axis_index(axis) * local_b + jnp.arange(local_b)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, batch, key, ids
+        )
         # explicit collectives over ICI (cast first: bf16 grads halve
         # the all-reduce bytes as well as the HBM traffic)
         grads = _cast_grads(config, grads)

@@ -122,3 +122,37 @@ def test_residual_dtype_threaded_not_global(rng):
         CFG.replace(residual_dtype="float32"), jax.random.PRNGKey(0)
     )
     assert pallas_lstm.RESIDUAL_DTYPE is prev
+
+
+def test_h_stream_model_level_forward_equivalence(rng):
+    """The h-stream lever's consumer-cast assumption, held at MODEL
+    level (ADVICE r3): in full-bf16 mode (bf16 compute + bf16
+    residuals), flipping H_STREAM_FOLLOWS_COMPUTE must not change a
+    decoder's forward output AT ALL — every consumer of the kernels' h
+    outputs (next layer's projection, the output Linear) casts to the
+    compute dtype anyway, so emitting h pre-rounded is bit-identical.
+    A future f32 consumer of Pallas LSTM outputs would fail this test
+    instead of silently changing bf16-mode numerics."""
+    from speechsplit_tpu.models.decoders import MelDecoder
+    from speechsplit_tpu.ops import pallas_lstm
+
+    cfg = CFG.replace(residual_dtype="bfloat16")
+    dec = MelDecoder(cfg, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.randn(8, 16, 164).astype(np.float32))
+    params = dec.init(jax.random.PRNGKey(0), x)
+
+    prev_flag = pallas_lstm.H_STREAM_FOLLOWS_COMPUTE
+    pallas_lstm.FORCE_INTERPRET = True
+    try:
+        pallas_lstm.H_STREAM_FOLLOWS_COMPUTE = False
+        out_f32_stream = dec.apply(params, x)
+        pallas_lstm.H_STREAM_FOLLOWS_COMPUTE = True
+        out_bf16_stream = dec.apply(params, x)
+    finally:
+        pallas_lstm.H_STREAM_FOLLOWS_COMPUTE = prev_flag
+        pallas_lstm.FORCE_INTERPRET = False
+
+    np.testing.assert_array_equal(
+        np.asarray(out_f32_stream, np.float32),
+        np.asarray(out_bf16_stream, np.float32),
+    )

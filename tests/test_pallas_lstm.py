@@ -225,16 +225,22 @@ def test_f32_residuals_keep_f32_grad_stream():
     assert g[0].dtype == jnp.float32
     assert pallas_lstm._grad_stream_dtype(jnp.float32) == jnp.float32
     assert pallas_lstm._grad_stream_dtype(jnp.bfloat16) == jnp.bfloat16
-    # the dh cotangent stream follows the same rule (and the same
-    # escape hatch: f32 residuals keep the f32 dh stream bit-exact)
-    assert pallas_lstm._dh_stream_dtype(jnp.float32) == jnp.float32
-    assert pallas_lstm._dh_stream_dtype(jnp.bfloat16) == jnp.bfloat16
-    prev = pallas_lstm.DH_STREAM_FOLLOWS_RESIDUAL
+    # the dh cotangent stream follows the h-stream rule (compute AND
+    # residuals bf16, flag on; every other combination keeps f32 dh —
+    # in particular the shipped f32-compute + bf16-residual default,
+    # whose forward keeps f32 h/xp streams, ADVICE r3)
+    dh = pallas_lstm._dh_stream_dtype
+    prev = pallas_lstm.DH_STREAM_FOLLOWS_COMPUTE
     try:
-        pallas_lstm.DH_STREAM_FOLLOWS_RESIDUAL = False
-        assert pallas_lstm._dh_stream_dtype(jnp.bfloat16) == jnp.float32
+        pallas_lstm.DH_STREAM_FOLLOWS_COMPUTE = True
+        assert dh(jnp.float32, jnp.float32) == jnp.float32
+        assert dh(jnp.float32, jnp.bfloat16) == jnp.float32
+        assert dh(jnp.bfloat16, jnp.float32) == jnp.float32
+        assert dh(jnp.bfloat16, jnp.bfloat16) == jnp.bfloat16
+        pallas_lstm.DH_STREAM_FOLLOWS_COMPUTE = False
+        assert dh(jnp.bfloat16, jnp.bfloat16) == jnp.float32
     finally:
-        pallas_lstm.DH_STREAM_FOLLOWS_RESIDUAL = prev
+        pallas_lstm.DH_STREAM_FOLLOWS_COMPUTE = prev
 
 
 def test_h_stream_bf16_is_rounded_f32_output():
@@ -261,11 +267,19 @@ def test_h_stream_bf16_is_rounded_f32_output():
         np.asarray(h_f32.astype(jnp.bfloat16), np.float32),
         np.asarray(h_bf16, np.float32),
     )
-    # the rule itself: f32 compute or f32 residuals keep f32 h
+    # the rule itself: f32 compute or f32 residuals keep f32 h, and
+    # the flag (off by default pending a hardware A/B) gates the rest
     hd = pallas_lstm._h_stream_dtype
-    assert hd(jnp.float32, jnp.bfloat16) == jnp.float32
-    assert hd(jnp.bfloat16, jnp.float32) == jnp.float32
-    assert hd(jnp.bfloat16, jnp.bfloat16) == jnp.bfloat16
+    prev = pallas_lstm.H_STREAM_FOLLOWS_COMPUTE
+    try:
+        pallas_lstm.H_STREAM_FOLLOWS_COMPUTE = True
+        assert hd(jnp.float32, jnp.bfloat16) == jnp.float32
+        assert hd(jnp.bfloat16, jnp.float32) == jnp.float32
+        assert hd(jnp.bfloat16, jnp.bfloat16) == jnp.bfloat16
+        pallas_lstm.H_STREAM_FOLLOWS_COMPUTE = False
+        assert hd(jnp.bfloat16, jnp.bfloat16) == jnp.float32
+    finally:
+        pallas_lstm.H_STREAM_FOLLOWS_COMPUTE = prev
 
 
 def test_supported_predicate():
