@@ -28,6 +28,11 @@ def main(argv=None) -> None:
     ap.add_argument("--duration", type=float, default=2.2,
                     help="approximate seconds per utterance")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--distinct_formants", action="store_true",
+        help="unique formant set per speaker + _speakers.json ground "
+        "truth (the disentanglement-evaluation corpus mode, QUALITY.md)",
+    )
     args = ap.parse_args(argv)
 
     from speechsplit_tpu.data.synthetic import make_corpus
@@ -39,6 +44,7 @@ def main(argv=None) -> None:
         seed=args.seed,
         duration_s=args.duration,
         progress_every=max(50, args.num // 20),
+        distinct_formants=args.distinct_formants,
     )
     print(f"wrote {len(paths)} wavs under {args.out_dir}")
 

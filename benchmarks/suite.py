@@ -38,7 +38,31 @@ def setup_jax():
     return jax
 
 
-def bench_train(n_meas: int = 300) -> float:
+def train_flops_per_step(n_params: int, batch: int, t: int) -> float:
+    """Analytic model-FLOPs per train step (the MFU numerator).
+
+    Every parameter of this model is a conv / LSTM / linear weight
+    applied once per output frame, and all branches run at the full
+    T=192 grid (downsampling happens at the code level AFTER the
+    recurrences): forward matmul FLOPs = 2 * P * B * T MACs, and the
+    backward pass of a matmul-dominated model costs 2x the forward
+    (dX and dW each re-use every weight/activation once) -> train step
+    = 6 * P * B * T. Elementwise/optimizer FLOPs are excluded (true
+    model-FLOPs convention), so the resulting utilization is not
+    flattered by pointwise work."""
+    return 6.0 * n_params * batch * t
+
+
+# bf16 MXU peak of one TPU v5 lite (v5e) chip, FLOP/s
+V5E_BF16_PEAK = 197e12
+
+
+def bench_train(n_meas: int = 300, batch_size=None, dtypes=None) -> dict:
+    """Measure the train step; returns rate + an MFU estimate.
+
+    ``batch_size``/``dtypes`` override the reference defaults for
+    best-operating-point runs (BENCHMARKS.md "Batch scaling": B40 full
+    bf16 is the throughput/chip optimum)."""
     jax = setup_jax()
     from speechsplit_tpu.config import SpeechSplitConfig
     from speechsplit_tpu.data.collator import Batch
@@ -48,6 +72,14 @@ def bench_train(n_meas: int = 300) -> float:
     )
 
     config = SpeechSplitConfig()
+    if batch_size is not None:
+        import dataclasses
+
+        config = dataclasses.replace(config, batch_size=batch_size)
+    if dtypes is not None:
+        import dataclasses
+
+        config = dataclasses.replace(config, **dtypes)
     module, state = create_train_state(config, jax.random.PRNGKey(0))
     step = make_train_step(config, module)
 
@@ -64,6 +96,8 @@ def bench_train(n_meas: int = 300) -> float:
     batch = jax.tree.map(jax.device_put, batch)
     key = jax.random.PRNGKey(1)
 
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+
     for _ in range(5):
         state, loss = step(state, batch, key)
     _ = float(loss)
@@ -72,8 +106,21 @@ def bench_train(n_meas: int = 300) -> float:
         state, loss = step(state, batch, key)
     _ = float(loss)
     elapsed = time.perf_counter() - start
-    log(f"train: {n_meas} steps in {elapsed:.3f}s")
-    return n_meas / elapsed
+    rate = n_meas / elapsed
+    flops = train_flops_per_step(n_params, b, t)
+    tflops = rate * flops / 1e12
+    log(
+        f"train (B{b} {config.compute_dtype}): {n_meas} steps in "
+        f"{elapsed:.3f}s = {rate:.1f} steps/s, "
+        f"{tflops:.1f} model-TFLOP/s "
+        f"({100 * tflops * 1e12 / V5E_BF16_PEAK:.0f}% of v5e bf16 peak)"
+    )
+    return {
+        "steps_per_sec": round(rate, 3),
+        "mel_frames_per_sec": round(rate * b * t, 1),
+        "model_tflops_per_sec": round(tflops, 1),
+        "mfu_vs_v5e_bf16_peak": round(tflops * 1e12 / V5E_BF16_PEAK, 3),
+    }
 
 
 def bench_preprocess(n_meas: int = 30, k: int = 8) -> float:
@@ -391,8 +438,19 @@ def bench_conversion_device(n_meas: int = 30, n_pairs: int = 8) -> float:
 
 
 def run_all() -> dict:
+    train = bench_train()
+    train_best = bench_train(
+        batch_size=40,
+        dtypes={
+            "compute_dtype": "bfloat16",
+            "residual_dtype": "bfloat16",
+            "grad_dtype": "bfloat16",
+        },
+    )
     results = {
-        "train_steps_per_sec": round(bench_train(), 3),
+        "train_steps_per_sec": train["steps_per_sec"],
+        "train_mfu": train,
+        "train_best_point_b40_bf16": train_best,
         "preprocess_mel_frames_per_sec": round(bench_preprocess(), 1),
         "preprocess_mel_frames_per_sec_with_fetch": round(
             bench_preprocess_with_fetch(), 1
