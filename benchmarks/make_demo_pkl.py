@@ -52,7 +52,8 @@ def main(argv=None) -> None:
             mel = np.load(os.path.join(d, f)).astype(np.float32)
             f0 = np.load(os.path.join(args.f0_dir, spk, f))
             n = min(len(mel), args.max_len)
-            emb = speaker_embedding(spk, ids[spk], args.dim_spk_emb)
+            # (1, 82) like the reference bundle (solver + demo consume it)
+            emb = speaker_embedding(spk, ids[spk], args.dim_spk_emb)[None]
             bundle.append(
                 [spk, emb, (mel[:n], f0[:n].astype(np.float64), n, f[:-4])]
             )

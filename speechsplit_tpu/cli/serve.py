@@ -91,9 +91,11 @@ def build_handler(converter, default_out: str):
                         )
                     ),
                     synthesize=bool(req.get("synthesize", True)),
-                    compress_results=bool(
-                        req.get("compress_results", False)
-                    ),
+                    # default "auto": the link probe decides whether
+                    # bf16 result compression helps on this session's
+                    # link weather (linkprobe.choose_compress); clients
+                    # may still pin true/false explicitly
+                    compress_results=req.get("compress_results", "auto"),
                     # wavs are written as PCM16 below: quantize on
                     # device, fetch 4x fewer bytes
                     pcm16=True,

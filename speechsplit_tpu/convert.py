@@ -18,7 +18,7 @@ of the source mel under the target's pitch, take the argmax and re-one-hot
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, NamedTuple, Sequence, Tuple
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -267,7 +267,7 @@ def convert_stream(
     p_params,
     pair_batches,
     conditions: Sequence[str] = CONDITIONS,
-    compress_fetch: bool = False,
+    compress_fetch=False,
     depth: int = 2,
 ):
     """Pipelined batched conversion over an iterable of pair batches.
@@ -281,19 +281,68 @@ def convert_stream(
     device->host copy of each grid is started at submit time
     (``copy_to_host_async``), so it proceeds during the successors'
     compute.
+
+    ``compress_fetch`` may be the string ``"auto"``: the stream then
+    SELF-TUNES — the first batches alternate 3-batch f32/bf16 phases
+    while per-yield wall times are recorded, and once each mode has
+    two post-transition samples the faster one is locked in for the
+    rest of the stream. Whether bf16 result compression helps depends
+    on link weather and on how compute-bound the grid is (a static
+    flag was measured to win on two windows and lose 15% on a third —
+    BENCHMARKS.md "Adaptive fetch"), so the stream measures itself
+    rather than trusting a probe.
     """
+    import time as _time
+
+    auto = compress_fetch == "auto"
+    chosen: Optional[bool] = None if auto else bool(compress_fetch)
+    phase = 3  # batches per probe phase in auto mode
+    timings: Dict[bool, List[float]] = {False: [], True: []}
+    last_yield: Optional[float] = None
+    n_submitted = 0
+
+    def _mode() -> bool:
+        if chosen is not None:
+            return chosen
+        return (n_submitted // phase) % 2 == 1  # f32 phase first
+
+    def _measure(mode: bool) -> None:
+        nonlocal last_yield, chosen
+        now = _time.perf_counter()
+        if last_yield is not None:
+            timings[mode].append(now - last_yield)
+        last_yield = now
+        if chosen is None and all(
+            len(timings[m]) >= 3 for m in (False, True)
+        ):
+            # skip each mode's first sample (pipeline transition)
+            f32 = min(timings[False][1:])
+            b16 = min(timings[True][1:])
+            chosen = b16 < f32
+
     in_flight: List[tuple] = []
     for pairs in pair_batches:
+        mode = _mode()
         in_flight.append(
-            _convert_submit(
-                g_module, g_params, p_module, p_params, pairs,
-                conditions, compress_fetch,
+            (
+                mode,
+                _convert_submit(
+                    g_module, g_params, p_module, p_params, pairs,
+                    conditions, mode,
+                ),
             )
         )
+        n_submitted += 1
         if len(in_flight) > depth:
-            yield _convert_fetch(*in_flight.pop(0))
+            mode0, flight = in_flight.pop(0)
+            result = _convert_fetch(*flight)
+            _measure(mode0)
+            yield result
     while in_flight:
-        yield _convert_fetch(*in_flight.pop(0))
+        mode0, flight = in_flight.pop(0)
+        result = _convert_fetch(*flight)
+        _measure(mode0)
+        yield result
 
 
 def convert_long(

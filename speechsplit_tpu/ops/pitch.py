@@ -68,10 +68,24 @@ class PitchParams(NamedTuple):
     # Also a measured loss: 6.87 (sort) vs 7.12 ms (12 serial argmax
     # passes) — XLA's TPU sort beats the max-scan at [T, ~295] rows.
     topk_by_sort: bool = True
+    # NCCF correlation numerator as a per-frame depthwise conv
+    # (feature_group_count = n_frames, ~142M MACs at the production
+    # batch) instead of three 1024-point FFTs. Same values up to float
+    # reassociation (tests/test_pitch.py::test_nccf_conv_parity).
+    # Default OFF pending the honest in-scan hardware A/B
+    # (benchmarks/nccf_ab.py — r1's conv lesson: isolated conv
+    # micro-benches mislead; only in-scan timing counts).
+    nccf_by_conv: bool = False
 
 
 def _nccf(
-    x: Array, n_frames: int, hop: int, window: int, kmin: int, kmax: int
+    x: Array,
+    n_frames: int,
+    hop: int,
+    window: int,
+    kmin: int,
+    kmax: int,
+    by_conv: bool = False,
 ) -> Array:
     """Mean-subtracted NCCF for all frames at once.
 
@@ -91,14 +105,31 @@ def _nccf(
     # are scalar-issue; see stft.strided_windows)
     frames = strided_windows(x, n_frames, hop, span)  # [T, span]
 
-    # cross-correlation numerator via rfft (linear correlation: pad to
-    # >= span + window)
-    nfft = 1 << (span + window - 1).bit_length()
-    short = jnp.where(jnp.arange(span)[None, :] < window, frames, 0.0)
-    spec_l = jnp.fft.rfft(frames, n=nfft, axis=-1)
-    spec_s = jnp.fft.rfft(short, n=nfft, axis=-1)
-    corr = jnp.fft.irfft(jnp.conj(spec_s) * spec_l, n=nfft, axis=-1)
-    num = corr[:, kmin : kmax + 1]  # [T, L] sum x[n] x[n+k]
+    if by_conv:
+        # cross-correlation numerator as a per-frame depthwise conv:
+        # each frame is its own group, its filter is its own first
+        # `window` samples, and a VALID conv against the full span
+        # produces sum_n x[n] x[n+k] at output position k directly
+        # (span = window + kmax, so positions cover every lag).
+        # PitchParams.nccf_by_conv documents the A/B status.
+        out = jax.lax.conv_general_dilated(
+            frames[None],                 # [1, T, span]  (channels = T)
+            frames[:, None, :window],     # [T, 1, window] per-frame filter
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            feature_group_count=n_frames,
+        )
+        num = out[0, :, kmin : kmax + 1]  # [T, L] sum x[n] x[n+k]
+    else:
+        # cross-correlation numerator via rfft (linear correlation: pad
+        # to >= span + window)
+        nfft = 1 << (span + window - 1).bit_length()
+        short = jnp.where(jnp.arange(span)[None, :] < window, frames, 0.0)
+        spec_l = jnp.fft.rfft(frames, n=nfft, axis=-1)
+        spec_s = jnp.fft.rfft(short, n=nfft, axis=-1)
+        corr = jnp.fft.irfft(jnp.conj(spec_s) * spec_l, n=nfft, axis=-1)
+        num = corr[:, kmin : kmax + 1]  # [T, L] sum x[n] x[n+k]
 
     # window sums / energies via prefix sums
     energy_prefix = jnp.concatenate(
@@ -423,7 +454,10 @@ def track_pitch(
     x_pad = jnp.pad(x, ((0, 0), (0, (n_frames - 1) * hop + span)))
 
     def single(xi, lo_i, hi_i):
-        nccf = _nccf(xi, n_frames, hop, params.window, kmin, kmax)
+        nccf = _nccf(
+            xi, n_frames, hop, params.window, kmin, kmax,
+            by_conv=params.nccf_by_conv,
+        )
         lag, score = _candidates(nccf, kmin, params)
         # dynamic per-utterance range mask
         lag_lo = sample_rate / hi_i

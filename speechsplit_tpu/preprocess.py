@@ -71,6 +71,7 @@ def _extract_core(
     dither: float = 1e-6,
     gain: float = 0.96,
     highpass_mode: str = "stft",
+    pitch_params=None,
 ) -> Tuple[Array, Array]:
     """One fused pass over a padded batch of waveforms.
 
@@ -138,8 +139,13 @@ def _extract_core(
         bin_gain=bin_gain,
     )
 
+    if pitch_params is None:
+        from speechsplit_tpu.ops.pitch import PitchParams
+
+        pitch_params = PitchParams()
     logf0 = track_pitch(
-        y, lengths, f0_lo, f0_hi, sample_rate=sample_rate, hop=hop
+        y, lengths, f0_lo, f0_hi, sample_rate=sample_rate, hop=hop,
+        params=pitch_params,
     )
 
     # per-utterance speaker normalization over voiced frames
@@ -166,6 +172,7 @@ extract_features = jax.jit(
     static_argnames=(
         "sample_rate", "n_fft", "hop", "n_mels", "order",
         "fmin", "fmax", "cutoff", "dither", "gain", "highpass_mode",
+        "pitch_params",
     ),
 )
 extract_features.__doc__ = _extract_core.__doc__
@@ -176,7 +183,7 @@ extract_features.__doc__ = _extract_core.__doc__
     static_argnames=(
         "sample_rate", "n_fft", "hop", "n_mels", "order",
         "fmin", "fmax", "cutoff", "dither", "gain", "highpass_mode",
-        "compress",
+        "pitch_params", "compress",
     ),
 )
 def extract_features_scan(

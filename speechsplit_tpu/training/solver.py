@@ -272,7 +272,8 @@ class Solver:
     def _prepare_val_inputs(self, val_sub):
         """Pad one validation utterance (ref: solver.py:210-220)."""
         cfg = self.config
-        emb = np.asarray(val_sub[1], np.float32)
+        # accept both the reference's (1, 82) and flat (82,) bundles
+        emb = np.asarray(val_sub[1], np.float32).reshape(1, -1)
         mel, f0, length, _uid = val_sub[2]
         x_pad, _ = pad_time_axis(
             np.asarray(mel, np.float32)[None], cfg.max_len_pad

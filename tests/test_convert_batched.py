@@ -98,3 +98,59 @@ def test_stream_matches_batched(rng):
             for (wn, wm), (gn, gm) in zip(wp, gp):
                 assert wn == gn
                 np.testing.assert_array_equal(wm, gm)
+
+
+@pytest.mark.slow
+def test_stream_auto_mode_yields_correct_results(rng):
+    """compress_fetch="auto" must self-tune without changing WHAT is
+    yielded: every batch's results equal convert_batched's (bf16-phase
+    batches within the ~0.004 rounding the static bf16 test allows),
+    and a mode gets locked once both phases have samples."""
+    from speechsplit_tpu import convert as convert_mod
+    from speechsplit_tpu.convert import convert_stream
+
+    g_module, g_state = create_train_state(CFG, jax.random.PRNGKey(0))
+    p_module, p_state = create_train_state(
+        CFG, jax.random.PRNGKey(1), "f0_converter"
+    )
+    batches = [
+        [(_utt(rng, f"a{k}", "u0", 150), _utt(rng, f"b{k}", "v0", 120))]
+        for k in range(12)
+    ]
+    streamed = list(
+        convert_stream(
+            g_module, g_state.params, p_module, p_state.params,
+            iter(batches), compress_fetch="auto", depth=2,
+        )
+    )
+    assert len(streamed) == len(batches)
+    for pairs, got in zip(batches, streamed):
+        want = convert_batched(
+            g_module, g_state.params, p_module, p_state.params, pairs
+        )
+        for wp, gp in zip(want, got):
+            for (wn, wm), (gn, gm) in zip(wp, gp):
+                assert wn == gn
+                assert gm.dtype == np.float32
+                np.testing.assert_allclose(wm, gm, atol=4e-3)
+
+
+def test_choose_compress_policy():
+    """The probe-based policy: bf16 only when it actually beats the f32
+    fetch AND the stream isn't compute-bound AND the fetch is slow
+    enough to matter."""
+    from speechsplit_tpu.linkprobe import LinkProfile, choose_compress
+
+    tunnel = LinkProfile(f32_mbps=29.0, bf16_mbps=21.0, rtt_ms=10.0)
+    fast = LinkProfile(f32_mbps=4000.0, bf16_mbps=3000.0, rtt_ms=0.1)
+    slow_bf16 = LinkProfile(f32_mbps=29.0, bf16_mbps=14.0, rtt_ms=10.0)
+    grid = 7 * 192 * 80 * 4  # one pair, 7 conditions, f32 bytes
+
+    # tunnel-class link, fetch-bound request: compress
+    assert choose_compress(grid, profile=tunnel) is True
+    # same link but the device is the bottleneck: don't
+    assert choose_compress(grid, compute_s=1.0, profile=tunnel) is False
+    # fast local link: never compress (fetch ~0.1 ms, below threshold)
+    assert choose_compress(grid, profile=fast) is False
+    # bf16 rate degraded to where halving bytes buys nothing: don't
+    assert choose_compress(grid, profile=slow_bf16) is False

@@ -194,3 +194,39 @@ def test_frames_past_length_are_unvoiced():
     out = _extract(x, [FS, FS // 2], [50.0] * 2, [600.0] * 2)
     cut = (FS // 2) // HOP + 1
     assert (out[1, cut:] == UNVOICED_LOG_F0).all()
+
+
+def test_nccf_conv_parity():
+    """The depthwise-conv NCCF numerator equals the FFT form up to
+    float reassociation, and the end-to-end tracker makes identical
+    voicing/F0 decisions on a real-ish stimulus either way."""
+    import jax
+
+    from speechsplit_tpu.ops.pitch import PitchParams, _nccf
+    from tests.speech_stimuli import default_utterance
+
+    stim = default_utterance(3, 120.0)
+    x = jnp.asarray(stim.wav[: 16000 * 2])
+    n_frames, hop, window = 60, 256, 120
+    kmin, kmax = 16000 // 600, 16000 // 50
+    span_pad = (n_frames - 1) * hop + window + kmax
+    xp = jnp.pad(x, (0, max(0, span_pad - x.shape[0])))
+
+    fft = _nccf(xp, n_frames, hop, window, kmin, kmax, by_conv=False)
+    conv = _nccf(xp, n_frames, hop, window, kmin, kmax, by_conv=True)
+    np.testing.assert_allclose(
+        np.asarray(fft), np.asarray(conv), atol=2e-3
+    )
+
+    wav = jnp.asarray(stim.wav)[None]
+    lengths = jnp.asarray([stim.wav.shape[0]])
+    lo, hi = jnp.asarray([50.0]), jnp.asarray([600.0])
+    base = track_pitch(wav, lengths, lo, hi)
+    by_conv = track_pitch(
+        wav, lengths, lo, hi, params=PitchParams(nccf_by_conv=True)
+    )
+    a, b = np.asarray(base)[0], np.asarray(by_conv)[0]
+    agree = np.mean((a > -1e9) == (b > -1e9))
+    assert agree > 0.98, agree
+    both = (a > -1e9) & (b > -1e9)
+    np.testing.assert_allclose(a[both], b[both], atol=5e-3)
