@@ -82,29 +82,40 @@ def load_tree(mel_dir: str, f0_dir: str, max_per_spk: int = 0):
     return out
 
 
-def speaker_centroids(tree, energy_floor: float = 0.08):
-    """Per-speaker mean mel spectrum over high-energy frames.
+def timbre_vec(mel: np.ndarray, energy_floor: float = 0.08) -> np.ndarray:
+    """Pitch-invariant timbre signature of one mel spectrogram.
 
-    Synthetic speakers have unique formant sets, so time-averaged
-    spectra separate them; the energy floor drops silence frames that
-    would pull every centroid toward the same noise floor."""
+    Mean mel spectra conflate formants with PITCH (harmonic combs
+    dominate the low bins, so a timbre-converted output with the
+    source's F0 matches neither speaker's centroid). The fix is the
+    classic cepstral separation: DCT along the mel axis and keep only
+    the low-quefrency coefficients c1..c12 — the smooth spectral
+    ENVELOPE (formant structure) — averaged over high-energy frames.
+    """
+    from scipy.fftpack import dct
+
+    e = mel.mean(axis=1)
+    keep = mel[e > energy_floor + e.min()]
+    frames = keep if len(keep) else mel
+    cep = dct(frames, type=2, norm="ortho", axis=1)[:, 1:13]
+    return cep.mean(axis=0)
+
+
+def speaker_centroids(tree, energy_floor: float = 0.08):
+    """Per-speaker mean timbre vector (see :func:`timbre_vec`).
+
+    Synthetic speakers have unique formant sets, so cepstral-envelope
+    centroids separate them regardless of each utterance's pitch."""
     cents = {}
     for spk, utts in tree.items():
-        vecs = []
-        for _, mel, _ in utts:
-            e = mel.mean(axis=1)
-            keep = mel[e > energy_floor + e.min()]
-            if len(keep):
-                vecs.append(keep.mean(axis=0))
+        vecs = [timbre_vec(mel, energy_floor) for _, mel, _ in utts]
         cents[spk] = np.mean(vecs, axis=0)
     return cents
 
 
 def classify(mel: np.ndarray, cents: dict, energy_floor: float = 0.08):
     """Nearest-centroid speaker id (cosine) + per-speaker similarity."""
-    e = mel.mean(axis=1)
-    keep = mel[e > energy_floor + e.min()]
-    v = keep.mean(axis=0) if len(keep) else mel.mean(axis=0)
+    v = timbre_vec(mel, energy_floor)
     sims = {}
     for spk, c in cents.items():
         sims[spk] = float(

@@ -44,7 +44,22 @@ def restore_checkpoint(
     target = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), abstract_state
     )
-    return ckptr.restore(path, target)
+    try:
+        # shardings come from the checkpoint's own sharding file — the
+        # same-platform path (resume on the device that saved)
+        return ckptr.restore(path, target)
+    except ValueError:
+        # cross-PLATFORM restore (e.g. scoring a TPU-trained checkpoint
+        # on the CPU backend): the saved sharding names devices that
+        # don't exist here, so target the local default device instead
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        target = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=sharding
+            ),
+            abstract_state,
+        )
+        return ckptr.restore(path, target)
 
 
 def latest_checkpoint_step(
