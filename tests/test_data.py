@@ -221,7 +221,10 @@ def test_prepare_val_inputs_learned_mode():
         solver.config = SpeechSplitConfig(spk_emb_mode=mode)
         x_f0, x_pad, emb = solver._prepare_val_inputs(entry)
         if mode == "onehot":
-            np.testing.assert_array_equal(emb, entry[1])
+            # flat (82,) and reference-style (1, 82) bundles both
+            # normalize to the [1, 82] the generator expects
+            assert np.asarray(emb).shape == (1, 82)
+            np.testing.assert_array_equal(emb[0], entry[1])
         else:
             assert np.asarray(emb).ndim == 3
             np.testing.assert_array_equal(emb, x_pad)
