@@ -1,10 +1,20 @@
-"""One-way import of reference PyTorch checkpoints into param pytrees.
+"""Two-way interop with reference PyTorch checkpoints.
 
-The reference ships pretrained checkpoints (``660000-G.ckpt`` for the
-generator, ``640000-P.ckpt`` for the F0 converter — reference README.md:38,
-demo.ipynb cell-0) whose ``state_dict`` layout follows reference model.py.
-This module maps those tensors onto this framework's flax param tree so
-the checkpoints can seed parity tests and warm-start inference.
+Import: the reference ships pretrained checkpoints (``660000-G.ckpt``
+for the generator, ``640000-P.ckpt`` for the F0 converter — reference
+README.md:38, demo.ipynb cell-0) whose ``state_dict`` layout follows
+reference model.py. :func:`torch_state_dict_to_params` maps those
+tensors onto this framework's flax param tree so the checkpoints can
+seed parity tests and warm-start inference.
+
+Export: :func:`params_to_torch_state_dict` inverts the mapping, so a
+model trained BY THIS FRAMEWORK can be saved as a reference-format
+``.ckpt`` (:func:`save_reference_checkpoint`) and loaded by the
+reference ``Solver.restore_model``/demo notebook unchanged (reference
+solver.py:84-90 reads ``ckpt['model']``). Only model weights are
+exported — optimizer state is not portable (optax vs torch Adam keep
+different step/moment layouts), matching how the reference's own demo
+consumes checkpoints (``ckpt['model']`` only).
 
 Layout differences handled here:
 - Linear:  torch ``[out, in]``            -> ours ``[in, out]`` (transpose)
@@ -155,3 +165,118 @@ def load_reference_checkpoint(path: str, model: str = "speechsplit"):
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     state_dict = ckpt["model"] if "model" in ckpt else ckpt
     return torch_state_dict_to_params(state_dict, model=model)
+
+
+def _get(tree: Mapping[str, Any], path: list[str]) -> np.ndarray:
+    node: Any = tree
+    for part in path:
+        node = node[part]
+    return np.asarray(node, dtype=np.float32)
+
+
+_LSTM_OUT_RE = re.compile(r"(w|b)_(ih|hh)_l(\d+)(_reverse)?$")
+
+
+def params_to_torch_state_dict(
+    params: Mapping[str, Any], model: str = "speechsplit"
+) -> Dict[str, np.ndarray]:
+    """Convert a flax params dict back to reference state_dict layout.
+
+    Exact inverse of :func:`torch_state_dict_to_params` (round-trip is
+    bit-identical — tests/test_models.py). Returns numpy arrays keyed
+    by the reference's torch parameter names (reference model.py
+    module tree); pass through ``torch.from_numpy`` or
+    :func:`save_reference_checkpoint` to obtain a loadable ``.ckpt``.
+
+    Raises ``ValueError`` when ``params`` holds subtrees with no
+    reference counterpart (e.g. the learned-mode ``speaker_encoder`` —
+    zero-shot checkpoints have no reference-format equivalent because
+    the reference hard-codes one-hot embeddings, make_metadata.py:19).
+    """
+    params = params.get("params", params)  # accept {'params': ...} too
+    module_map = (
+        _module_map_generator()
+        if model == "speechsplit"
+        else _module_map_f0_converter()
+    )
+    out: Dict[str, np.ndarray] = {}
+    consumed = set()
+    for prefix, (path, kind) in module_map.items():
+        node = _get_node(params, path)
+        consumed.add(tuple(path))
+        if kind == "conv":
+            out[prefix + ".weight"] = _get(node, ["kernel"]).transpose(
+                2, 1, 0
+            )  # [k,in,out] -> [out,in,k]
+            out[prefix + ".bias"] = _get(node, ["bias"])
+        elif kind == "norm":
+            out[prefix + ".weight"] = _get(node, ["scale"])
+            out[prefix + ".bias"] = _get(node, ["bias"])
+        elif kind == "linear":
+            out[prefix + ".weight"] = _get(node, ["kernel"]).T
+            out[prefix + ".bias"] = _get(node, ["bias"])
+        elif kind == "lstm":
+            for name in node:
+                m = _LSTM_OUT_RE.match(name)
+                if not m:
+                    raise ValueError(
+                        f"unrecognized LSTM param {name!r} at {path}"
+                    )
+                kind_c, gate_side, layer, rev = m.groups()
+                suffix = f"l{layer}" + (rev or "")
+                arr = _get(node, [name])
+                if kind_c == "w":
+                    out[f"{prefix}.weight_{gate_side}_{suffix}"] = arr.T
+                else:
+                    out[f"{prefix}.bias_{gate_side}_{suffix}"] = arr
+    extra = _unconsumed_paths(params, consumed)
+    if extra:
+        raise ValueError(
+            "params contain subtrees with no reference counterpart: "
+            f"{sorted(extra)} (learned-mode speaker encoders cannot be "
+            "exported to the one-hot reference format)"
+        )
+    return out
+
+
+def _get_node(tree: Mapping[str, Any], path: list[str]) -> Mapping[str, Any]:
+    node: Any = tree
+    for part in path:
+        if part not in node:
+            raise ValueError(
+                f"params missing expected module {'/'.join(path)!r}"
+            )
+        node = node[part]
+    return node
+
+
+def _unconsumed_paths(params: Mapping[str, Any], consumed: set) -> set:
+    """Module paths (depth-2, matching the module maps) not exported."""
+    extra = set()
+    for top, sub in params.items():
+        if not isinstance(sub, Mapping):
+            extra.add(top)
+            continue
+        for name in sub:
+            if (top, name) not in consumed:
+                extra.add(f"{top}/{name}")
+    return extra
+
+
+def save_reference_checkpoint(
+    params: Mapping[str, Any], path: str, model: str = "speechsplit"
+) -> None:
+    """Save flax params as a reference-loadable ``.ckpt`` (requires torch).
+
+    The file holds ``{'model': state_dict}`` exactly as the reference
+    training loop writes (solver.py:198-202) and its ``restore_model``/
+    demo notebook read (solver.py:84-90)."""
+    import torch  # local import: only needed for this entry point
+
+    state = {
+        # copy: orbax-restored arrays can be non-writable views, which
+        # torch.from_numpy refuses to own
+        k: torch.from_numpy(np.array(v, dtype=np.float32, copy=True))
+        for k, v in params_to_torch_state_dict(params, model=model).items()
+    }
+    torch.save({"model": state}, path)

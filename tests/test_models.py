@@ -167,3 +167,64 @@ def test_interop_rejects_unknown_parameters():
         {"encoder_1.len_org": np.asarray(192)}, "speechsplit"
     )
     assert out == {}
+
+
+def test_export_roundtrip_is_bit_identical(reference):
+    """params -> reference state_dict -> params must be exact, and the
+    exported dict must load into the actual torch reference module
+    (same keys, same shapes) for both model families."""
+    from speechsplit_tpu.interop import params_to_torch_state_dict
+
+    ref_model, ref_hparams = reference
+    for model_name, ctor, seed in (
+        ("speechsplit", ref_model.Generator_3, 10),
+        ("f0_converter", ref_model.Generator_6, 11),
+    ):
+        torch.manual_seed(seed)
+        ref = ctor(ref_hparams).eval()
+        params = torch_state_dict_to_params(ref.state_dict(), model_name)
+        exported = params_to_torch_state_dict(params, model_name)
+
+        # exact round trip back to flax params
+        back = torch_state_dict_to_params(exported, model_name)
+
+        def as_flat(tree):
+            return {
+                jax.tree_util.keystr(path): leaf
+                for path, leaf in jax.tree_util.tree_leaves_with_path(tree)
+            }
+
+        flat_a, flat_b = as_flat(params), as_flat(back)
+        assert set(flat_a) == set(flat_b)
+        for k in flat_a:
+            np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+        # the torch reference accepts the exported dict verbatim
+        # (len_org buffers are constants the export rightly omits)
+        state = {k: torch.from_numpy(v.copy()) for k, v in exported.items()}
+        missing, unexpected = ctor(ref_hparams).load_state_dict(
+            state, strict=False
+        )
+        assert not unexpected
+        assert all(k.endswith("len_org") for k in missing)
+        ref_keys = {
+            k for k in ref.state_dict() if not k.endswith("len_org")
+        }
+        assert set(exported) == ref_keys
+
+
+def test_export_rejects_learned_mode_subtrees():
+    from speechsplit_tpu.interop import params_to_torch_state_dict
+
+    cfg = SpeechSplitConfig()
+    model = SpeechSplit(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.max_len_pad, cfg.dim_freq + cfg.dim_f0)),
+        jnp.zeros((1, cfg.max_len_pad, cfg.dim_freq)),
+        jnp.zeros((1, cfg.dim_spk_emb)),
+    )
+    params = dict(variables["params"])
+    params["speaker_encoder"] = {"proj": {"kernel": np.zeros((4, 4))}}
+    with pytest.raises(ValueError, match="no reference counterpart"):
+        params_to_torch_state_dict(params, "speechsplit")
