@@ -15,11 +15,20 @@ exploiting that the synthetic corpus (data/synthetic.py,
 For held-out (never trained on) utterance pairs it runs all 7 conversion
 conditions plus the identity reconstruction and scores three axes:
 
-  pitch   median voiced F0 of the converted speech (Griffin-Lim
-          resynthesis -> the repo's own pitch tracker), as a log2
-          distance to the TARGET utterance's median F0 vs the SOURCE's.
-          An 'F' in the condition must move it to the target; its
-          absence must leave it at the source.
+  pitch   two sub-axes, because the stored F0 features are
+          SPEAKER-NORMALIZED per utterance (reference
+          make_spect_f0.py:66-67, utils.py:35-42):
+          (a) intonation SHAPE — Pearson correlation between the
+              output's tracked log-F0 contour (Griffin-Lim resynthesis
+              -> the repo's own pitch tracker) and the condition's F0
+              INPUT contour (P-converted under 'F', the source's
+              otherwise). 'F' must decorrelate the output from the
+              source contour and follow the converted one.
+          (b) absolute REGISTER — median voiced F0 as a log2 distance
+              to the target's vs the source's. The normalized features
+              carry no register by construction, so register moves
+              with the SPEAKER EMBEDDING ('U'), not with 'F' — the
+              metric pins that this is where it lives.
   rhythm  frame-energy envelope correlation against the target's
           envelope vs the source's (time-interpolated to the output
           grid when lengths differ). 'R' must move it; absence must not.
@@ -145,11 +154,11 @@ def env_corr(a: np.ndarray, b: np.ndarray) -> float:
 # --------------------------------------------------------- pitch of mels
 
 
-def median_f0_of_mels(mels, vocoder, jnp, track_pitch) -> np.ndarray:
-    """Griffin-Lim resynthesis -> repo pitch tracker -> median voiced F0
-    in Hz (NaN when fewer than 8 voiced frames). Wide 50-600 Hz search
-    bounds for every utterance so the tracker cannot be biased toward
-    either speaker's range."""
+def tracked_logf0_of_mels(mels, vocoder, jnp, track_pitch):
+    """Griffin-Lim resynthesis -> repo pitch tracker -> per-utterance
+    log-F0 contour rows (unvoiced frames = -1e10), one tracker frame
+    per mel frame. Wide 50-600 Hz search bounds for every utterance so
+    the tracker cannot be biased toward either speaker's range."""
     wavs = vocoder.synthesize_batch([np.asarray(m) for m in mels])
     n = max(len(w) for w in wavs)
     batch = np.zeros((len(wavs), n), np.float32)
@@ -165,14 +174,70 @@ def median_f0_of_mels(mels, vocoder, jnp, track_pitch) -> np.ndarray:
             jnp.asarray(hi),
         )
     )
+    return [row[: len(m)] for row, m in zip(logf0, mels)]
+
+
+def median_of_rows(rows) -> np.ndarray:
+    """Median voiced F0 in Hz per tracked row (NaN when fewer than 8
+    voiced frames)."""
     meds = []
-    for row in logf0:
+    for row in rows:
         voiced = row[row > -1e9]
         meds.append(
             float(np.exp(np.median(voiced))) if len(voiced) >= 8
             else float("nan")
         )
     return np.asarray(meds)
+
+
+def median_f0_of_mels(mels, vocoder, jnp, track_pitch) -> np.ndarray:
+    return median_of_rows(
+        tracked_logf0_of_mels(mels, vocoder, jnp, track_pitch)
+    )
+
+
+def onehot_to_contour(onehot: np.ndarray) -> np.ndarray:
+    """Quantized 257-bin one-hot F0 -> normalized contour in [0,1]
+    (inverse of quantize_f0, reference utils.py:46-58: bins 1..256
+    cover [0,1] uniformly; bin 0 = unvoiced -> -1e10 sentinel)."""
+    ids = np.argmax(onehot, axis=-1).astype(np.float32)
+    vals = (ids - 1.0) / 255.0
+    return np.where(ids > 0, vals, -1e10)
+
+
+def contour_corr(tracked_logf0: np.ndarray, contour: np.ndarray) -> float:
+    """Pearson r between a tracked log-F0 row and a normalized F0
+    contour on their common voiced frames.
+
+    The stored/quantized contour is a per-utterance affine map of
+    z-scored log-F0 (reference utils.py:35-42), and Pearson r is
+    affine-invariant, so this directly measures whether the output's
+    intonation SHAPE follows the contour — the axis the F condition
+    controls (the speaker-normalized features carry no absolute
+    register by construction). Contours of a different length are
+    linearly re-timed to the tracked grid (rhythm-converted outputs).
+    Returns NaN with fewer than 8 common voiced frames."""
+    if len(contour) != len(tracked_logf0):
+        # re-time voiced values onto the tracked grid; carry voicing
+        # as a mask resampled the same way
+        xc = np.linspace(0.0, 1.0, len(contour))
+        xt = np.linspace(0.0, 1.0, len(tracked_logf0))
+        voiced_c = (contour > -1e9).astype(np.float32)
+        vals = np.where(contour > -1e9, contour, 0.0)
+        contour = np.where(
+            np.interp(xt, xc, voiced_c) > 0.5,
+            np.interp(xt, xc, vals),
+            -1e10,
+        )
+    mask = (tracked_logf0 > -1e9) & (contour > -1e9)
+    if mask.sum() < 8:
+        return float("nan")
+    a = tracked_logf0[mask]
+    b = contour[mask]
+    a = a - a.mean()
+    b = b - b.mean()
+    den = np.sqrt((a * a).sum() * (b * b).sum()) + 1e-9
+    return float((a * b).sum() / den)
 
 
 def log2_dist(a: float, b: float) -> float:
@@ -348,16 +413,67 @@ def main(argv=None) -> None:
         trg_f0 = median_f0_of_mels(trg_mels, vocoder, jnp, track_pitch)
 
     # calibration: ground-truth mels through the GL+tracker pipeline
-    cal_f0 = median_f0_of_mels(src_mels, vocoder, jnp, track_pitch)
+    cal_rows = tracked_logf0_of_mels(src_mels, vocoder, jnp, track_pitch)
+    cal_f0 = median_of_rows(cal_rows)
     cal_err = np.nanmean(
         [log2_dist(a, b) for a, b in zip(cal_f0, src_f0)]
     )
     log(f"pipeline F0 calibration error: {cal_err:.4f} log2 units")
 
+    # ------------------------------------------- F0-input contours
+    # The F condition swaps the decoder's quantized F0 stream for the
+    # P-converted contour. The stored features are SPEAKER-NORMALIZED
+    # per utterance (reference make_spect_f0.py:66-67, utils.py:35-42),
+    # so this stream carries intonation SHAPE only — absolute register
+    # is a timbre property rendered from the speaker embedding (the U
+    # axis). The right F-axis ground truth is therefore contour-shape
+    # correlation, not median F0.
+    from speechsplit_tpu.convert import _f0_convert_jit
+
+    src_contours = [
+        onehot_to_contour(np.asarray(s.f0_onehot[0, : s.length]))
+        for s, _ in pairs
+    ]
+    trg_contours = [
+        onehot_to_contour(np.asarray(t.f0_onehot[0, : t.length]))
+        for _, t in pairs
+    ]
+    mel_src_b = jnp.concatenate([s.mel for s, _ in pairs], axis=0)
+    f0_trg_b = jnp.concatenate([t.f0_onehot for _, t in pairs], axis=0)
+    con_onehot = np.asarray(_f0_convert_jit(
+        p_module, p_params, mel_src_b, f0_trg_b
+    ))
+    con_contours = [
+        onehot_to_contour(con_onehot[i, : s.length])
+        for i, (s, _) in enumerate(pairs)
+    ]
+
+    def nancorr(a_rows, b_rows):
+        return float(np.nanmean(
+            [contour_corr(a, b) for a, b in zip(a_rows, b_rows)]
+        ))
+
+    # the F0 converter itself, tracker-free: its output should follow
+    # the TARGET's intonation shape (re-timed to source rhythm), not
+    # the source's
+    report_p = {
+        "contour_corr_to_target": round(
+            nancorr(con_contours, trg_contours), 4),
+        "contour_corr_to_source": round(
+            nancorr(con_contours, src_contours), 4),
+    }
+    # calibration: the tracked ground-truth rows must follow their own
+    # stored contours through the GL+tracker pipeline
+    contour_cal = nancorr(cal_rows, src_contours)
+    log(f"contour calibration r={contour_cal:.3f}; "
+        f"P converter: {json.dumps(report_p)}")
+
     # ------------------------------------------------------- scoring
     report: dict = {
         "n_pairs": len(pairs),
         "pipeline_f0_log2_err": round(float(cal_err), 4),
+        "pipeline_contour_corr": round(contour_cal, 4),
+        "f0_converter": report_p,
         "conditions": {},
     }
 
@@ -377,7 +493,15 @@ def main(argv=None) -> None:
 
     for ci, cond in enumerate(CONDITIONS):
         outs = [results[pi][ci][1] for pi in range(len(pairs))]
-        out_f0 = median_f0_of_mels(outs, vocoder, jnp, track_pitch)
+        out_rows = tracked_logf0_of_mels(outs, vocoder, jnp, track_pitch)
+        out_f0 = median_of_rows(out_rows)
+
+        # intonation shape: does the output follow its F0-INPUT stream
+        # (the converted contour under F, the source's otherwise)?
+        input_contours = con_contours if "F" in cond else src_contours
+        c_in = nancorr(out_rows, input_contours)
+        c_src = nancorr(out_rows, src_contours)
+        c_trg = nancorr(out_rows, trg_contours)
 
         d_trg = [log2_dist(o, t) for o, t in zip(out_f0, trg_f0)]
         d_src = [log2_dist(o, s) for o, s in zip(out_f0, src_f0)]
@@ -395,6 +519,9 @@ def main(argv=None) -> None:
             timbre_hits_s += cls == s.name
 
         report["conditions"][cond] = {
+            "contour_corr_input": round(c_in, 4),
+            "contour_corr_source": round(c_src, 4),
+            "contour_corr_target": round(c_trg, 4),
             "f0_log2_dist_to_target": round(float(np.nanmean(d_trg)), 4),
             "f0_log2_dist_to_source": round(float(np.nanmean(d_src)), 4),
             "f0_moved_to_target_frac": round(float(pitch_to_target), 3),

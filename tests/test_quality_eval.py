@@ -71,3 +71,41 @@ def test_load_tree(tmp_path):
     assert len(tree["p300"]) == 3
     uid, mel, f0 = tree["p300"][0]
     assert uid == "u0" and mel.shape == (50, 80) and f0.shape == (50,)
+
+
+def test_onehot_to_contour_inverts_quantize():
+    from benchmarks.quality_eval import onehot_to_contour
+
+    import jax.numpy as jnp
+
+    from speechsplit_tpu.ops.quantize import quantize_f0_onehot
+
+    x = np.array([0.1, 0.25, 0.5, 0.75, 1.0, -1e10, 0.0], np.float32)
+    onehot = np.asarray(quantize_f0_onehot(jnp.asarray(x), 256))
+    back = onehot_to_contour(onehot)
+    np.testing.assert_allclose(back[:5], x[:5], atol=1.0 / 255.0)
+    # unvoiced sentinel and x<=0 (unvoiced per reference utils.py:46-58)
+    assert back[5] < -1e9 and back[6] < -1e9
+
+
+def test_contour_corr_is_affine_invariant_and_masked():
+    from benchmarks.quality_eval import contour_corr
+
+    t = 100
+    shape = np.sin(np.linspace(0, 4 * np.pi, t)).astype(np.float32)
+    tracked = 5.0 + 0.2 * shape  # log-F0-like
+    contour = 0.5 + 0.1 * shape  # normalized-contour-like
+    # random unvoiced holes on both sides
+    rng = np.random.RandomState(0)
+    tracked = np.where(rng.rand(t) < 0.2, -1e10, tracked)
+    contour = np.where(rng.rand(t) < 0.2, -1e10, contour)
+    assert contour_corr(tracked, contour) > 0.99
+    # anti-phase contour anti-correlates
+    assert contour_corr(tracked, 0.5 - 0.1 * shape) < -0.99
+    # different grid: re-timed
+    short = (0.5 + 0.1 * np.sin(np.linspace(0, 4 * np.pi, 63))).astype(
+        np.float32
+    )
+    assert contour_corr(5.0 + 0.2 * shape, short) > 0.95
+    # too few common voiced frames -> NaN
+    assert np.isnan(contour_corr(np.full(t, -1e10), contour))
