@@ -510,13 +510,18 @@ def main(argv=None) -> None:
         )
 
         r_trg, r_src, timbre_hits_t, timbre_hits_s = [], [], 0, 0
+        sim_shift = []
         for pi, ((s, t), out) in enumerate(zip(pairs, outs)):
             e_out = envelope(out)
             r_trg.append(env_corr(e_out, envelope(trg_mels[pi])))
             r_src.append(env_corr(e_out, envelope(src_mels[pi])))
-            cls, _ = classify(out, cents)
+            cls, sims = classify(out, cents)
             timbre_hits_t += cls == t.name
             timbre_hits_s += cls == s.name
+            # softer than argmax: did the timbre MOVE toward the
+            # target centroid? (matters for zero-shot, where unseen-
+            # speaker conversions can land between training centroids)
+            sim_shift.append(sims[t.name] - sims[s.name])
 
         report["conditions"][cond] = {
             "contour_corr_input": round(c_in, 4),
@@ -532,6 +537,9 @@ def main(argv=None) -> None:
             ),
             "timbre_classified_source_frac": round(
                 timbre_hits_s / len(pairs), 3
+            ),
+            "timbre_sim_shift_to_target": round(
+                float(np.mean(sim_shift)), 4
             ),
         }
         log(f"{cond}: {json.dumps(report['conditions'][cond])}")
