@@ -5,8 +5,12 @@ two tunnel-weather windows and LOSING 15% on a compute-bound one —
 a static flag cannot be right everywhere. Round-4 adds two adaptive
 mechanisms:
 
-  - ``convert_stream(compress_fetch="auto")`` self-tunes inline
-    (3-batch f32/bf16 probe phases, then locks the faster mode);
+  - ``convert_stream(compress_fetch="auto")`` decides once on the
+    first batch: link profile + a fenced compute timing of the actual
+    grid -> linkprobe.choose_compress. (The first auto design probed
+    both modes in-stream with 3-batch phases; window-1 measured those
+    probe phases costing 15% of a 24-batch stream, failing this
+    benchmark's own acceptance bar — hence the one-shot redesign.)
   - single-request paths resolve "auto" from a once-per-process link
     probe (linkprobe.choose_compress).
 

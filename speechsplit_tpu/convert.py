@@ -18,7 +18,7 @@ of the source mel under the target's pitch, take the argmax and re-one-hot
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -282,67 +282,71 @@ def convert_stream(
     (``copy_to_host_async``), so it proceeds during the successors'
     compute.
 
-    ``compress_fetch`` may be the string ``"auto"``: the stream then
-    SELF-TUNES — the first batches alternate 3-batch f32/bf16 phases
-    while per-yield wall times are recorded, and once each mode has
-    two post-transition samples the faster one is locked in for the
-    rest of the stream. Whether bf16 result compression helps depends
-    on link weather and on how compute-bound the grid is (a static
-    flag was measured to win on two windows and lose 15% on a third —
-    BENCHMARKS.md "Adaptive fetch"), so the stream measures itself
-    rather than trusting a probe.
+    ``compress_fetch`` may be the string ``"auto"``: the mode is then
+    chosen ONCE, before the second batch, from measurements — the
+    link profile (f32/bf16 MB/s + RTT, linkprobe.probe_link) plus a
+    fenced compute timing of the first batch's actual grid — via
+    ``linkprobe.choose_compress`` (bf16 only when the f32 fetch beats
+    neither the bf16 fetch nor the overlapped compute). Whether bf16
+    compression helps depends on link weather and on how compute-bound
+    the grid is (a static flag was measured to win on two windows and
+    lose 15% on a third — BENCHMARKS.md "Adaptive fetch"). An earlier
+    auto design probed BOTH modes in-stream with 3-batch phases; the
+    probe phases themselves cost ~15% of a 24-batch stream
+    (BENCHMARKS.md round-4 A/B), so the informed one-shot decision
+    replaced it — its only overhead is one duplicate dispatch of the
+    first batch (a few ms of device time) and the once-per-process
+    link probe.
     """
     import time as _time
 
     auto = compress_fetch == "auto"
     chosen: Optional[bool] = None if auto else bool(compress_fetch)
-    phase = 3  # batches per probe phase in auto mode
-    timings: Dict[bool, List[float]] = {False: [], True: []}
-    last_yield: Optional[float] = None
-    n_submitted = 0
-
-    def _mode() -> bool:
-        if chosen is not None:
-            return chosen
-        return (n_submitted // phase) % 2 == 1  # f32 phase first
-
-    def _measure(mode: bool) -> None:
-        nonlocal last_yield, chosen
-        now = _time.perf_counter()
-        if last_yield is not None:
-            timings[mode].append(now - last_yield)
-        last_yield = now
-        if chosen is None and all(
-            len(timings[m]) >= 3 for m in (False, True)
-        ):
-            # skip each mode's first sample (pipeline transition)
-            f32 = min(timings[False][1:])
-            b16 = min(timings[True][1:])
-            chosen = b16 < f32
 
     in_flight: List[tuple] = []
     for pairs in pair_batches:
-        mode = _mode()
-        in_flight.append(
-            (
-                mode,
+        if chosen is None:
+            # informed one-shot decision on the first batch's shape
+            from speechsplit_tpu.linkprobe import (
+                choose_compress,
+                probe_link,
+            )
+
+            profile = probe_link()
+            # dispatch twice: the first may pay compilation, the
+            # second's scalar fence times enqueue+compute (+RTT)
+            out0, _meta0 = _convert_submit(
+                g_module, g_params, p_module, p_params, pairs,
+                conditions, False,
+            )
+            float(jnp.max(out0[:1, :1, :1]))  # absorb compile + run
+            t0 = _time.perf_counter()
+            out1, meta1 = _convert_submit(
+                g_module, g_params, p_module, p_params, pairs,
+                conditions, False,
+            )
+            float(jnp.max(out1[:1, :1, :1]))  # fences this compute
+            compute_s = max(
+                _time.perf_counter() - t0 - profile.rtt_ms * 1e-3,
+                1e-4,
+            )
+            chosen = choose_compress(
+                int(out1.size) * 4, compute_s, profile
+            )
+            # the timed dispatch doubles as batch 1's in-flight grid
+            # (already f32, its host copy is underway)
+            in_flight.append((out1, meta1))
+        else:
+            in_flight.append(
                 _convert_submit(
                     g_module, g_params, p_module, p_params, pairs,
-                    conditions, mode,
-                ),
+                    conditions, chosen,
+                )
             )
-        )
-        n_submitted += 1
         if len(in_flight) > depth:
-            mode0, flight = in_flight.pop(0)
-            result = _convert_fetch(*flight)
-            _measure(mode0)
-            yield result
+            yield _convert_fetch(*in_flight.pop(0))
     while in_flight:
-        mode0, flight = in_flight.pop(0)
-        result = _convert_fetch(*flight)
-        _measure(mode0)
-        yield result
+        yield _convert_fetch(*in_flight.pop(0))
 
 
 def convert_long(

@@ -103,9 +103,10 @@ def test_stream_matches_batched(rng):
 @pytest.mark.slow
 def test_stream_auto_mode_yields_correct_results(rng):
     """compress_fetch="auto" must self-tune without changing WHAT is
-    yielded: every batch's results equal convert_batched's (bf16-phase
-    batches within the ~0.004 rounding the static bf16 test allows),
-    and a mode gets locked once both phases have samples."""
+    yielded: the mode is decided once on the first batch (link probe +
+    fenced compute timing, convert_stream docstring) and every batch's
+    results equal convert_batched's (within the ~0.004 rounding the
+    static bf16 test allows, in case bf16 is chosen)."""
     from speechsplit_tpu import convert as convert_mod
     from speechsplit_tpu.convert import convert_stream
 
