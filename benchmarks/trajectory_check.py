@@ -10,6 +10,8 @@ Usage::
 
     python -m benchmarks.trajectory_check [--steps 400] [--batch 16]
            [--modes float32,bfloat16]
+    # dh-stream lever equivalence at the shipped default config:
+    python -m benchmarks.trajectory_check --modes bfloat16,bfloat16+dh
 """
 
 from __future__ import annotations
@@ -64,9 +66,22 @@ def main(argv=None) -> None:
             base_cfg.min_len_seq, base_cfg.max_len_seq + 1, b
         ).astype(np.int32),
     )
+    from speechsplit_tpu.ops import pallas_lstm
+
+    orig_dh_fn = pallas_lstm._dh_stream_dtype
     trajectories = {}
     for mode in args.modes.split(","):
-        config = SpeechSplitConfig(batch_size=b, residual_dtype=mode)
+        # a "+dh" suffix forces the backward dh cotangent stream to
+        # bf16 (the round-4 B16-f32 lever, BENCHMARKS.md "dh/h stream
+        # dtype A/B") on top of the residual-dtype mode
+        residual, _, lever = mode.partition("+")
+        if lever == "dh":
+            import jax.numpy as jnp
+
+            pallas_lstm._dh_stream_dtype = lambda c, r: jnp.bfloat16
+        else:
+            pallas_lstm._dh_stream_dtype = orig_dh_fn
+        config = SpeechSplitConfig(batch_size=b, residual_dtype=residual)
         batch = jax.tree.map(jax.device_put, np_batch)
         module, state = create_train_state(config, jax.random.PRNGKey(0))
         step = make_train_step(config, module)
