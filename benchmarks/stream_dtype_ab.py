@@ -64,7 +64,11 @@ def main(argv=None) -> None:
     orig_dh_fn = pallas_lstm._dh_stream_dtype
 
     def set_combo(dh, hf, force_dh=False):
-        pallas_lstm.DH_STREAM_FOLLOWS_COMPUTE = dh
+        # dh flag semantics predate the round-4 default flip
+        # (DH_STREAM_FOLLOWS_RESIDUAL now defaults True); this A/B
+        # still pins both sides explicitly so re-runs reproduce the
+        # recorded comparison regardless of the shipped default.
+        pallas_lstm.DH_STREAM_FOLLOWS_RESIDUAL = dh
         pallas_lstm.H_STREAM_FOLLOWS_COMPUTE = hf
         if force_dh:
             pallas_lstm._dh_stream_dtype = lambda c, r: jnp.bfloat16

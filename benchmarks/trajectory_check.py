@@ -71,14 +71,19 @@ def main(argv=None) -> None:
     orig_dh_fn = pallas_lstm._dh_stream_dtype
     trajectories = {}
     for mode in args.modes.split(","):
-        # a "+dh" suffix forces the backward dh cotangent stream to
-        # bf16 (the round-4 B16-f32 lever, BENCHMARKS.md "dh/h stream
-        # dtype A/B") on top of the residual-dtype mode
+        # "+dh" forces the backward dh cotangent stream to bf16 and
+        # "+f32dh" forces it to f32, overriding the default (which,
+        # since the round-4 flip, is ALREADY bf16 when residuals are
+        # bf16 — BENCHMARKS.md "dh stream default"). The recorded
+        # equivalence run compared the two forced sides; a bare
+        # residual-dtype mode runs the shipped default.
         residual, _, lever = mode.partition("+")
-        if lever == "dh":
-            import jax.numpy as jnp
+        import jax.numpy as jnp
 
+        if lever == "dh":
             pallas_lstm._dh_stream_dtype = lambda c, r: jnp.bfloat16
+        elif lever == "f32dh":
+            pallas_lstm._dh_stream_dtype = lambda c, r: jnp.float32
         else:
             pallas_lstm._dh_stream_dtype = orig_dh_fn
         config = SpeechSplitConfig(batch_size=b, residual_dtype=residual)

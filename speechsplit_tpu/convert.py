@@ -159,10 +159,17 @@ def _convert_submit(
     pairs: Sequence[Tuple[Utterance, Utterance]],
     conditions: Sequence[str],
     compress_fetch: bool,
+    start_copy: bool = True,
 ):
     """Dispatch the (pair x condition) grid; returns the in-flight
     device array (async — nothing is fetched here) plus the metadata
-    needed to format results later."""
+    needed to format results later.
+
+    ``start_copy=False`` skips the early device->host copy — used by
+    the auto-mode probe dispatches, whose scalar compute fence must not
+    share the link with a multi-MB grid copy (the copy inflates the
+    measured compute time to ~the fetch time and flips the decision —
+    BENCHMARKS.md "Adaptive fetch", window-2 failure)."""
     mel_src = jnp.concatenate([s.mel for s, _ in pairs], axis=0)
     mel_trg = jnp.concatenate([t.mel for _, t in pairs], axis=0)
     f0_src = jnp.concatenate([s.f0_onehot for s, _ in pairs], axis=0)
@@ -201,10 +208,11 @@ def _convert_submit(
     out = out[:, :cut_max, :]
     if compress_fetch:
         out = out.astype(jnp.bfloat16)
-    try:  # start the device->host copy early (overlaps later compute)
-        out.copy_to_host_async()
-    except AttributeError:
-        pass
+    if start_copy:
+        try:  # start the device->host copy early (overlaps later compute)
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
     return out, (list(pairs), tuple(conditions))
 
 
@@ -294,9 +302,10 @@ def convert_stream(
     auto design probed BOTH modes in-stream with 3-batch phases; the
     probe phases themselves cost ~15% of a 24-batch stream
     (BENCHMARKS.md round-4 A/B), so the informed one-shot decision
-    replaced it — its only overhead is one duplicate dispatch of the
-    first batch (a few ms of device time) and the once-per-process
-    link probe.
+    replaced it — its only overhead is two duplicate dispatches of the
+    first batch (a few ms of device time each; both probe dispatches
+    suppress the early host copy so the compute fence is timed on a
+    quiet link) and the once-per-process link probe.
     """
     import time as _time
 
@@ -313,17 +322,22 @@ def convert_stream(
             )
 
             profile = probe_link()
-            # dispatch twice: the first may pay compilation, the
-            # second's scalar fence times enqueue+compute (+RTT)
+            # dispatch twice, with the early host copies SUPPRESSED:
+            # a grid copy in flight shares the ~tens-of-MB/s link with
+            # the scalar fence and inflates the measured compute to
+            # ~the fetch time, flipping the decision toward f32 (the
+            # measured window-2 failure, BENCHMARKS.md). The first
+            # dispatch absorbs compilation; the second's scalar fence
+            # times enqueue+compute (+RTT) on a quiet link.
             out0, _meta0 = _convert_submit(
                 g_module, g_params, p_module, p_params, pairs,
-                conditions, False,
+                conditions, False, start_copy=False,
             )
             float(jnp.max(out0[:1, :1, :1]))  # absorb compile + run
             t0 = _time.perf_counter()
-            out1, meta1 = _convert_submit(
+            out1, _meta1 = _convert_submit(
                 g_module, g_params, p_module, p_params, pairs,
-                conditions, False,
+                conditions, False, start_copy=False,
             )
             float(jnp.max(out1[:1, :1, :1]))  # fences this compute
             compute_s = max(
@@ -333,9 +347,14 @@ def convert_stream(
             chosen = choose_compress(
                 int(out1.size) * 4, compute_s, profile
             )
-            # the timed dispatch doubles as batch 1's in-flight grid
-            # (already f32, its host copy is underway)
-            in_flight.append((out1, meta1))
+            # now dispatch batch 1 FOR REAL in the chosen mode (a few
+            # ms of duplicate device time; its copy starts normally)
+            in_flight.append(
+                _convert_submit(
+                    g_module, g_params, p_module, p_params, pairs,
+                    conditions, chosen,
+                )
+            )
         else:
             in_flight.append(
                 _convert_submit(

@@ -129,13 +129,20 @@ XP_STREAM_FOLLOWS_COMPUTE = True
 # head), so the [T, B, H] HBM write itself becomes bf16 — the read
 # AND the write halve. The in-kernel dh/dc carry chain stays f32 and
 # dh_out is folded in once per cell, so the rounding does not
-# compound across timesteps. Same gate as the xp/h levers: compute
-# AND residuals both bf16 (f32-compute or f32-residual modes keep f32
-# dh — the bit-parity-with-scan escape hatch and parity-test mode).
-# Measured (round 4, BENCHMARKS.md "dh/h stream dtype A/B") before
-# any default flip — PROJ_FUSION discipline: byte-halving levers have
-# measured as LOSSES here; never default one on without a hardware A/B.
-DH_STREAM_FOLLOWS_COMPUTE = False
+# compound across timesteps. Gated on RESIDUALS bf16 only (not
+# compute): the hardware A/B (round 4, BENCHMARKS.md "dh/h stream
+# dtype A/B") measured the win exactly in the SHIPPED f32-compute +
+# bf16-residual default — -11.0% step time at B16 f32 (5.455 vs
+# 6.132 ms interleaved), noise at B40 bf16 — because after the
+# dxp/xp levers dh is the largest remaining f32 backward stream
+# there. Rounding cotangents the forward kept at f32 was verified by
+# a 400-step loss-trajectory run (benchmarks.trajectory_check
+# bfloat16+f32dh vs bfloat16+dh): max relative delta 1.09e-2, all of
+# it on the converged ~1.2e-3 tail (0.001242 vs 0.001256, absolute
+# 1.4e-5), early steps matching to ~4e-4 — the same acceptance class
+# as the round-3 bf16-residual run (7.8e-3). f32-residual mode keeps
+# f32 dh — the bit-parity-with-scan escape hatch and parity-test mode.
+DH_STREAM_FOLLOWS_RESIDUAL = True
 
 # h output stream dtype (the fourth stream lever): in full-bf16 mode
 # every consumer of the kernels' h outputs rounds them to bf16 anyway
@@ -158,15 +165,14 @@ H_STREAM_FOLLOWS_COMPUTE = False
 
 def _dh_stream_dtype(compute_dtype, residual_dtype):
     """dtype for the incoming dh cotangent stream (compute_dtype is the
-    recurrent weights' dtype, as in _h_stream_dtype). Gated on compute
-    AND residual both bf16 so the shipped f32-compute + bf16-residual
-    default never rounds cotangents its forward kept f32 (ADVICE r3)."""
+    recurrent weights' dtype, as in _h_stream_dtype, and is accepted
+    for signature symmetry — the gate rides the residual dtype alone,
+    like _grad_stream_dtype; see the flag comment for the measured A/B
+    and the trajectory-equivalence run that justify rounding cotangents
+    in the f32-compute + bf16-residual shipped default)."""
+    del compute_dtype
     rd = _resolve_residual(residual_dtype)
-    if (
-        DH_STREAM_FOLLOWS_COMPUTE
-        and compute_dtype == jnp.bfloat16
-        and rd == jnp.bfloat16
-    ):
+    if DH_STREAM_FOLLOWS_RESIDUAL and rd == jnp.bfloat16:
         return jnp.bfloat16
     return jnp.float32
 

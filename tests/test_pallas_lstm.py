@@ -225,22 +225,23 @@ def test_f32_residuals_keep_f32_grad_stream():
     assert g[0].dtype == jnp.float32
     assert pallas_lstm._grad_stream_dtype(jnp.float32) == jnp.float32
     assert pallas_lstm._grad_stream_dtype(jnp.bfloat16) == jnp.bfloat16
-    # the dh cotangent stream follows the h-stream rule (compute AND
-    # residuals bf16, flag on; every other combination keeps f32 dh —
-    # in particular the shipped f32-compute + bf16-residual default,
-    # whose forward keeps f32 h/xp streams, ADVICE r3)
+    # the dh cotangent stream rides the RESIDUAL dtype alone (like the
+    # grad/dxp stream) — the round-4 hardware A/B measured its win in
+    # the f32-compute + bf16-residual shipped default, and a 400-step
+    # trajectory run verified the rounding (pallas_lstm.py flag note)
     dh = pallas_lstm._dh_stream_dtype
-    prev = pallas_lstm.DH_STREAM_FOLLOWS_COMPUTE
+    prev = pallas_lstm.DH_STREAM_FOLLOWS_RESIDUAL
     try:
-        pallas_lstm.DH_STREAM_FOLLOWS_COMPUTE = True
+        pallas_lstm.DH_STREAM_FOLLOWS_RESIDUAL = True
         assert dh(jnp.float32, jnp.float32) == jnp.float32
-        assert dh(jnp.float32, jnp.bfloat16) == jnp.float32
+        assert dh(jnp.float32, jnp.bfloat16) == jnp.bfloat16
         assert dh(jnp.bfloat16, jnp.float32) == jnp.float32
         assert dh(jnp.bfloat16, jnp.bfloat16) == jnp.bfloat16
-        pallas_lstm.DH_STREAM_FOLLOWS_COMPUTE = False
+        pallas_lstm.DH_STREAM_FOLLOWS_RESIDUAL = False
         assert dh(jnp.bfloat16, jnp.bfloat16) == jnp.float32
+        assert dh(jnp.float32, jnp.bfloat16) == jnp.float32
     finally:
-        pallas_lstm.DH_STREAM_FOLLOWS_COMPUTE = prev
+        pallas_lstm.DH_STREAM_FOLLOWS_RESIDUAL = prev
 
 
 def test_h_stream_bf16_is_rounded_f32_output():
