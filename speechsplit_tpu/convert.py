@@ -268,6 +268,11 @@ def convert_batched(
     return _convert_fetch(out, meta)
 
 
+# compress_fetch="auto" decisions, keyed by grid shape; see
+# convert_stream. Process-lifetime, like linkprobe's cached profile.
+_AUTO_DECISIONS: dict = {}
+
+
 def convert_stream(
     g_module: SpeechSplit,
     g_params,
@@ -302,10 +307,12 @@ def convert_stream(
     auto design probed BOTH modes in-stream with 3-batch phases; the
     probe phases themselves cost ~15% of a 24-batch stream
     (BENCHMARKS.md round-4 A/B), so the informed one-shot decision
-    replaced it — its only overhead is two duplicate dispatches of the
-    first batch (a few ms of device time each; both probe dispatches
-    suppress the early host copy so the compute fence is timed on a
-    quiet link) and the once-per-process link probe.
+    replaced it — its only overhead is three duplicate dispatches of
+    the first batch (a few ms of device time each: one absorbs
+    compilation, two timed reps whose MIN rejects host-hiccup
+    outliers; all probe dispatches suppress the early host copy so
+    the compute fence is timed on a quiet link) and the
+    once-per-process link probe.
     """
     import time as _time
 
@@ -314,6 +321,22 @@ def convert_stream(
 
     in_flight: List[tuple] = []
     for pairs in pair_batches:
+        if chosen is None:
+            # Per-process, per-grid-shape decision cache. The probe's
+            # inputs are the link profile (already cached per process
+            # by probe_link) and a compute timing that is a pure
+            # function of the grid shape — so re-probing a repeated
+            # stream shape can only add noise and cost: the probe's
+            # 3 fenced dispatches are ~3 RTTs + duplicate compute,
+            # measured at 8-17% of a 24-batch stream on a 37 ms-RTT
+            # window (BENCHMARKS.md "Adaptive fetch" window 2).
+            key = (
+                len(pairs),
+                len(conditions),
+                max(int(s.mel.shape[1]) for s, _ in pairs),
+                max(int(t.mel.shape[1]) for _, t in pairs),
+            )
+            chosen = _AUTO_DECISIONS.get(key)
         if chosen is None:
             # informed one-shot decision on the first batch's shape
             from speechsplit_tpu.linkprobe import (
@@ -334,19 +357,31 @@ def convert_stream(
                 conditions, False, start_copy=False,
             )
             float(jnp.max(out0[:1, :1, :1]))  # absorb compile + run
-            t0 = _time.perf_counter()
-            out1, _meta1 = _convert_submit(
-                g_module, g_params, p_module, p_params, pairs,
-                conditions, False, start_copy=False,
-            )
-            float(jnp.max(out1[:1, :1, :1]))  # fences this compute
-            compute_s = max(
-                _time.perf_counter() - t0 - profile.rtt_ms * 1e-3,
-                1e-4,
-            )
+            # MIN of two fenced reps: a single sample flips the
+            # decision when a host hiccup (enqueue stall, GC) lands in
+            # the timing window — window 2 measured exactly that (one
+            # auto round at f32-level throughput on a bf16-favoring
+            # link, BENCHMARKS.md "Adaptive fetch" window 2). The
+            # extra duplicate dispatch is a few ms of device time
+            # against a whole stream.
+            compute_s = None
+            out1 = out0
+            for _rep in range(2):
+                t0 = _time.perf_counter()
+                out1, _meta1 = _convert_submit(
+                    g_module, g_params, p_module, p_params, pairs,
+                    conditions, False, start_copy=False,
+                )
+                float(jnp.max(out1[:1, :1, :1]))  # fences this compute
+                rep_s = _time.perf_counter() - t0
+                compute_s = rep_s if compute_s is None else min(
+                    compute_s, rep_s
+                )
+            compute_s = max(compute_s - profile.rtt_ms * 1e-3, 1e-4)
             chosen = choose_compress(
                 int(out1.size) * 4, compute_s, profile
             )
+            _AUTO_DECISIONS[key] = chosen
             # now dispatch batch 1 FOR REAL in the chosen mode (a few
             # ms of duplicate device time; its copy starts normally)
             in_flight.append(
