@@ -124,6 +124,19 @@ class SpeechSplitConfig:
     # decoder geometry and checkpoints are unaffected by the mode.
     spk_emb_mode: str = "onehot"
     dim_spk_enc: int = 256           # SpeakerEncoder conv channels
+    # Auxiliary supervised-contrastive loss on the learned speaker
+    # embeddings (learned mode only; ignored in onehot mode). The
+    # round-4 zero-shot evaluation showed the reconstruction loss
+    # alone gives the SpeakerEncoder no metric-learning pressure:
+    # unseen-speaker outputs landed between training centroids
+    # (QUALITY.md, VERDICT r4 #6). With weight > 0 the train step adds
+    # weight * SupCon(embeddings, speaker labels) — same-speaker
+    # embeddings attract, different-speaker embeddings repel on the
+    # unit sphere (labels come free from the batch's one-hot rows,
+    # which learned mode still loads). 0.0 = exactly the round-4
+    # recipe (default; flipping it is an experiment, QUALITY.md).
+    spk_contrast_weight: float = 0.0
+    spk_contrast_temp: float = 0.1   # SupCon softmax temperature
 
     # ------------------------------------------------------------------ api
     @property

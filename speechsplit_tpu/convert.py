@@ -268,9 +268,40 @@ def convert_batched(
     return _convert_fetch(out, meta)
 
 
-# compress_fetch="auto" decisions, keyed by grid shape; see
-# convert_stream. Process-lifetime, like linkprobe's cached profile.
+# compress_fetch="auto" decisions, keyed by grid shape + trimmed
+# length; see convert_stream. Process-lifetime, like linkprobe's cached
+# profile — linkprobe.probe_link(force=True) clears BOTH so long-lived
+# services can re-decide under fresh link weather (ADVICE r4).
 _AUTO_DECISIONS: dict = {}
+
+
+def reset_auto_decisions() -> None:
+    """Drop cached compress_fetch="auto" verdicts (e.g. after link
+    weather changes); ``linkprobe.probe_link(force=True)`` calls this."""
+    _AUTO_DECISIONS.clear()
+
+
+def _auto_key(pairs, conditions) -> tuple:
+    """Cache key for a compress_fetch="auto" verdict.
+
+    Must capture the FETCH bytes, not just the compute shape:
+    mel.shape[1] is always config.max_len_pad after prepare_utterance
+    padding, but _convert_submit trims the fetched grid to cut_max (the
+    longest frame count any (pair, condition) keeps), which varies per
+    stream — so cut_max is part of the key (ADVICE r4: same-batch
+    streams with very different clip lengths must not share one
+    bf16/f32 verdict; the wrong mode was measured to cost ~15%
+    throughput, BENCHMARKS.md "Adaptive fetch").
+    """
+    return (
+        len(pairs),
+        len(conditions),
+        max(
+            (t.length if "R" in c else s.length)
+            for c in conditions
+            for (s, t) in pairs
+        ),
+    )
 
 
 def convert_stream(
@@ -322,20 +353,16 @@ def convert_stream(
     in_flight: List[tuple] = []
     for pairs in pair_batches:
         if chosen is None:
-            # Per-process, per-grid-shape decision cache. The probe's
-            # inputs are the link profile (already cached per process
-            # by probe_link) and a compute timing that is a pure
-            # function of the grid shape — so re-probing a repeated
-            # stream shape can only add noise and cost: the probe's
-            # 3 fenced dispatches are ~3 RTTs + duplicate compute,
-            # measured at 8-17% of a 24-batch stream on a 37 ms-RTT
-            # window (BENCHMARKS.md "Adaptive fetch" window 2).
-            key = (
-                len(pairs),
-                len(conditions),
-                max(int(s.mel.shape[1]) for s, _ in pairs),
-                max(int(t.mel.shape[1]) for _, t in pairs),
-            )
+            # Per-process decision cache (_auto_key: grid geometry +
+            # trimmed fetch length). The probe's inputs are the link
+            # profile (already cached per process by probe_link) and a
+            # compute timing that is a pure function of the grid shape
+            # — so re-probing a repeated stream shape can only add
+            # noise and cost: the probe's 3 fenced dispatches are ~3
+            # RTTs + duplicate compute, measured at 8-17% of a
+            # 24-batch stream on a 37 ms-RTT window (BENCHMARKS.md
+            # "Adaptive fetch" window 2).
+            key = _auto_key(pairs, conditions)
             chosen = _AUTO_DECISIONS.get(key)
         if chosen is None:
             # informed one-shot decision on the first batch's shape

@@ -38,10 +38,25 @@ _CACHED: Optional[LinkProfile] = None
 
 
 def probe_link(size_mb: float = 2.0, force: bool = False) -> LinkProfile:
-    """Measure fetch bandwidth per dtype + RTT; cached per process."""
+    """Measure fetch bandwidth per dtype + RTT; cached per process.
+
+    ``force=True`` re-measures AND drops every decision derived from
+    the stale profile (convert's compress_fetch="auto" cache) — link
+    bandwidth drifts on ~minutes timescales, so long-running services
+    should call this periodically to re-decide (ADVICE r4).
+    """
     global _CACHED
     if _CACHED is not None and not force:
         return _CACHED
+    if force:
+        # invalidate downstream caches keyed on the old profile; lazy
+        # via sys.modules to avoid a circular import (convert imports
+        # this module inside convert_stream)
+        import sys
+
+        _conv = sys.modules.get("speechsplit_tpu.convert")
+        if _conv is not None:
+            _conv.reset_auto_decisions()
     import jax
     import jax.numpy as jnp
     import numpy as np

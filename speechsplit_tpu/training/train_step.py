@@ -159,6 +159,87 @@ def _augment_inputs(
     return jnp.concatenate([x_f0[:, :, :-1], onehot], axis=-1)
 
 
+def speaker_contrastive_loss(
+    emb: Array, labels: Array, temp: float = 0.1
+) -> Array:
+    """Supervised contrastive (SupCon) loss over one batch of speaker
+    embeddings.
+
+    For each anchor with at least one same-speaker positive in the
+    batch, the loss is the mean over its positives of
+    ``-log softmax(sim / temp)`` across all non-self rows; anchors with
+    no in-batch positive contribute nothing (guarded, not NaN).
+    Embeddings are expected unit-norm (the SpeakerEncoder L2-normalizes),
+    so ``emb @ emb.T`` is cosine similarity.
+
+    Why: trained on reconstruction alone the SpeakerEncoder has no
+    pressure to separate speakers — round 4's zero-shot evaluation
+    measured unseen-speaker outputs landing between training centroids
+    (QUALITY.md). This term adds that pressure using the speaker labels
+    the corpus already provides (VERDICT r4 #6; the GE2E/SupCon family
+    the reference's make_metadata.py:19 upgrade note points toward).
+    """
+    emb = emb.astype(jnp.float32)
+    b = emb.shape[0]
+    sim = (emb @ emb.T) / temp                       # [B, B]
+    eye = jnp.eye(b, dtype=bool)
+    pos = (labels[:, None] == labels[None, :]) & ~eye
+    sim = jnp.where(eye, -1e9, sim)                  # exclude self
+    logp = sim - jax.nn.logsumexp(sim, axis=1, keepdims=True)
+    pos_cnt = jnp.sum(pos, axis=1)
+    per_anchor = jnp.sum(jnp.where(pos, logp, 0.0), axis=1) / jnp.maximum(
+        pos_cnt, 1
+    )
+    has_pos = pos_cnt > 0
+    n_anchors = jnp.maximum(jnp.sum(has_pos), 1)
+    return -jnp.sum(jnp.where(has_pos, per_anchor, 0.0)) / n_anchors
+
+
+def _speaker_conditioning(
+    config: SpeechSplitConfig,
+    module: SpeechSplit,
+    params,
+    batch: Batch,
+    gather_axis: Optional[str] = None,
+) -> Tuple[Array, Array]:
+    """Train-time speaker conditioning + auxiliary contrastive loss.
+
+    Returns ``(c_trg, aux_loss)``. Onehot mode: the batch's one-hot
+    rows, aux 0. Learned mode: self-conditions on the utterance's own
+    un-augmented mel. With ``spk_contrast_weight > 0`` the embeddings
+    are computed here (rank-2 c_trg — the module applies the
+    SpeakerEncoder exactly once either way) and scored with
+    :func:`speaker_contrastive_loss` against the batch's speaker
+    labels, which learned mode still carries in ``batch.spk_emb``.
+
+    ``gather_axis`` (shard_map path): embeddings + labels are
+    all-gathered over the mesh axis so every shard scores the GLOBAL
+    batch — the replicated aux term's psum-scatter cotangent (x n)
+    cancels the gradient pmean (/ n) exactly, so the sharded trajectory
+    equals the single-device one up to reduction order
+    (tests/test_speaker_encoder.py pins this on the 8-device mesh).
+    """
+    if config.spk_emb_mode != "learned":
+        return batch.spk_emb, jnp.zeros((), jnp.float32)
+    if config.spk_contrast_weight <= 0.0:
+        # rank-3 c_trg: the module derives the embedding internally —
+        # byte-identical program to the pre-contrast recipe
+        return batch.mel, jnp.zeros((), jnp.float32)
+    emb = module.apply(
+        {"params": params}, batch.mel, method="embed_speaker"
+    )
+    labels = jnp.argmax(batch.spk_emb, axis=-1)
+    if gather_axis is not None:
+        emb_all = jax.lax.all_gather(emb, gather_axis, tiled=True)
+        labels_all = jax.lax.all_gather(labels, gather_axis, tiled=True)
+    else:
+        emb_all, labels_all = emb, labels
+    aux = config.spk_contrast_weight * speaker_contrastive_loss(
+        emb_all, labels_all, config.spk_contrast_temp
+    )
+    return emb, aux
+
+
 def make_train_step_fn(
     config: SpeechSplitConfig,
     module: SpeechSplit,
@@ -175,11 +256,11 @@ def make_train_step_fn(
             k_aug, k_model = jax.random.split(key)
             x_in = _augment_inputs(config, batch, k_aug)
             # learned speaker mode self-conditions on the utterance's
-            # own un-augmented mel (rank-3 c_trg -> SpeakerEncoder)
-            c_trg = (
-                batch.mel
-                if config.spk_emb_mode == "learned"
-                else batch.spk_emb
+            # own un-augmented mel (rank-3 c_trg -> SpeakerEncoder);
+            # with spk_contrast_weight > 0 the embedding is computed
+            # here and scored against the batch's speaker labels
+            c_trg, aux = _speaker_conditioning(
+                config, module, params, batch
             )
             mel_out = module.apply(
                 {"params": params},
@@ -189,7 +270,7 @@ def make_train_step_fn(
                 train=True,
                 rngs={"resample": k_model},
             )
-            return jnp.mean(jnp.square(batch.mel - mel_out))
+            return jnp.mean(jnp.square(batch.mel - mel_out)) + aux
 
     def step(
         state: TrainState, batch: Batch, key: Array
@@ -351,11 +432,12 @@ def make_train_step_shard_map(
             k_aug, k_model = jax.random.split(key)
             x_in = _augment_inputs(config, batch, k_aug, example_ids)
             # learned speaker mode self-conditions on the utterance's
-            # own un-augmented mel (rank-3 c_trg -> SpeakerEncoder)
-            c_trg = (
-                batch.mel
-                if config.spk_emb_mode == "learned"
-                else batch.spk_emb
+            # own un-augmented mel; the contrastive aux term (if on)
+            # all-gathers embeddings+labels so every shard scores the
+            # GLOBAL batch — trajectory equals single-device (helper
+            # docstring)
+            c_trg, aux = _speaker_conditioning(
+                config, module, params, batch, gather_axis=axis
             )
             mel_out = module.apply(
                 {"params": params},
@@ -366,7 +448,7 @@ def make_train_step_shard_map(
                 example_ids=example_ids,
                 rngs={"resample": k_model},
             )
-            return jnp.mean(jnp.square(batch.mel - mel_out))
+            return jnp.mean(jnp.square(batch.mel - mel_out)) + aux
 
     def local_step(state: TrainState, batch: Batch, key: Array):
         # per-device: local shard loss/grads. The SAME folded key on

@@ -136,6 +136,41 @@ def test_stream_auto_mode_yields_correct_results(rng):
                 np.testing.assert_allclose(wm, gm, atol=4e-3)
 
 
+def test_auto_key_tracks_fetch_length():
+    """The auto-decision cache key must vary with the TRIMMED fetch
+    length (cut_max), not the padded mel shape — streams with the same
+    batch geometry but very different clip lengths fetch very different
+    byte counts and must not share one bf16/f32 verdict (ADVICE r4)."""
+    from types import SimpleNamespace
+
+    from speechsplit_tpu.convert import CONDITIONS, _auto_key
+
+    def pair(ls, lt):
+        return (
+            SimpleNamespace(length=ls),
+            SimpleNamespace(length=lt),
+        )
+
+    short = [pair(64, 80)]
+    long = [pair(190, 192)]
+    assert _auto_key(short, CONDITIONS) != _auto_key(long, CONDITIONS)
+    # and it is the R-aware cut_max: with an R condition present the
+    # target length counts even when the source is shorter
+    assert _auto_key([pair(64, 192)], CONDITIONS)[2] == 192
+    assert _auto_key([pair(64, 192)], ["F"])[2] == 64
+
+
+def test_probe_force_clears_auto_decisions():
+    """probe_link(force=True) must invalidate convert's cached auto
+    verdicts — they were derived from the stale link profile."""
+    from speechsplit_tpu import convert as convert_mod
+    from speechsplit_tpu import linkprobe
+
+    convert_mod._AUTO_DECISIONS[(1, 7, 128)] = True
+    linkprobe.probe_link(force=True)
+    assert convert_mod._AUTO_DECISIONS == {}
+
+
 def test_choose_compress_policy():
     """The probe-based policy: bf16 only when it actually beats the f32
     fetch AND the stream isn't compute-bound AND the fetch is slow

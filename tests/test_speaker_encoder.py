@@ -124,6 +124,152 @@ def test_embedding_padding_invariant():
     )
 
 
+def test_supcon_loss_math():
+    """speaker_contrastive_loss against a hand-computed numpy value,
+    plus the no-positive guard (all-distinct labels -> 0, not NaN)."""
+    from speechsplit_tpu.training.train_step import (
+        speaker_contrastive_loss,
+    )
+
+    rng = np.random.RandomState(0)
+    emb = rng.randn(4, 8).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    labels = np.asarray([0, 0, 1, 1], np.int32)
+    temp = 0.2
+
+    sim = emb @ emb.T / temp
+    want = 0.0
+    for i in range(4):
+        others = [j for j in range(4) if j != i]
+        logz = np.log(np.sum(np.exp(sim[i, others])))
+        pos = [j for j in others if labels[j] == labels[i]]
+        want += -np.mean([sim[i, j] - logz for j in pos])
+    want /= 4
+
+    got = float(
+        speaker_contrastive_loss(
+            jnp.asarray(emb), jnp.asarray(labels), temp
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # no in-batch positives: zero, finite
+    distinct = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    assert float(
+        speaker_contrastive_loss(jnp.asarray(emb), distinct, temp)
+    ) == 0.0
+
+    # same-speaker pairs pulled together score lower than pushed apart
+    tight = np.stack([emb[0], emb[0], emb[2], emb[2]])
+    loose = np.stack([emb[0], -emb[0], emb[2], -emb[2]])
+    l_tight = float(
+        speaker_contrastive_loss(jnp.asarray(tight), jnp.asarray(labels))
+    )
+    l_loose = float(
+        speaker_contrastive_loss(jnp.asarray(loose), jnp.asarray(labels))
+    )
+    assert l_tight < l_loose
+
+
+def test_contrast_weight_adds_exactly_the_supcon_term():
+    """At the initial params the step loss with spk_contrast_weight=w
+    must exceed the w=0 loss by exactly w * SupCon(embeddings, labels)
+    — the aux term composes, it does not perturb the MSE path."""
+    from speechsplit_tpu.training.train_step import (
+        speaker_contrastive_loss,
+    )
+
+    w = 0.25
+    contrast = LEARNED.replace(spk_contrast_weight=w)
+    module, state = create_train_state(LEARNED, jax.random.PRNGKey(0))
+    module_c, state_c = create_train_state(contrast, jax.random.PRNGKey(0))
+    # identical initial params (same key, same tree)
+    for a, b in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(state_c.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # batch with same-speaker positives (2 speakers x 2 utterances)
+    batch = _batch(LEARNED, 1)
+    emb_rows = np.zeros((4, LEARNED.dim_spk_emb), np.float32)
+    emb_rows[[0, 1], 3] = 1.0
+    emb_rows[[2, 3], 5] = 1.0
+    batch = Batch(
+        mel=batch.mel, spk_emb=jnp.asarray(emb_rows),
+        f0=batch.f0, len_org=batch.len_org,
+    )
+    key = jax.random.PRNGKey(2)
+
+    # the jitted steps DONATE their input state: score the embeddings
+    # first, then run the steps
+    emb = module.apply(
+        {"params": state.params}, batch.mel, method="embed_speaker"
+    )
+    aux = float(
+        speaker_contrastive_loss(
+            emb, jnp.argmax(batch.spk_emb, -1), contrast.spk_contrast_temp
+        )
+    )
+
+    _, loss0 = make_train_step(LEARNED, module)(state, batch, key)
+    _, loss_w = make_train_step(contrast, module_c)(state_c, batch, key)
+    np.testing.assert_allclose(
+        float(loss_w) - float(loss0), w * aux, rtol=1e-4, atol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_contrast_shard_map_trajectory_equals_single_device():
+    """With the contrastive term ON, the shard_map step must still
+    follow the single-device trajectory: the aux loss all-gathers
+    embeddings+labels so every shard scores the GLOBAL batch, and the
+    replicated term's psum-scatter cotangent (x n) cancels the gradient
+    pmean (/ n) exactly (train_step._speaker_conditioning)."""
+    from speechsplit_tpu.parallel import batch_sharding, make_mesh
+    from speechsplit_tpu.training.train_step import (
+        make_train_step_shard_map,
+    )
+
+    assert len(jax.devices()) == 8
+    cfg = LEARNED.replace(
+        spk_contrast_weight=0.5, batch_size=16, learning_rate=1e-3
+    )
+    mesh = make_mesh()
+    module, state_sm = create_train_state(cfg, jax.random.PRNGKey(0))
+    _, state_one = create_train_state(cfg, jax.random.PRNGKey(0))
+    sm_step = make_train_step_shard_map(cfg, module, mesh)
+    one_step = make_train_step(cfg, module, None)
+
+    rng = np.random.RandomState(1)
+    b, t = 16, cfg.max_len_pad
+    emb_rows = np.zeros((b, cfg.dim_spk_emb), np.float32)
+    emb_rows[np.arange(b), np.arange(b) % 4] = 1.0  # 4 speakers x 4
+    batch = Batch(
+        mel=rng.rand(b, t, 80).astype(np.float32),
+        spk_emb=emb_rows,
+        f0=rng.rand(b, t, 1).astype(np.float32),
+        len_org=rng.randint(64, 129, b).astype(np.int32),
+    )
+    batch_sm = jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh)), batch
+    )
+    key = jax.random.PRNGKey(7)
+
+    losses_sm, losses_one = [], []
+    for _ in range(3):
+        state_sm, loss_sm = sm_step(state_sm, batch_sm, key)
+        state_one, loss_one = one_step(state_one, batch, key)
+        losses_sm.append(float(loss_sm))
+        losses_one.append(float(loss_one))
+    np.testing.assert_allclose(losses_sm, losses_one, atol=1e-5, rtol=0)
+    for a, b_ in zip(
+        jax.tree.leaves(state_sm.params), jax.tree.leaves(state_one.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=1e-4, rtol=0
+        )
+
+
 def test_mel_ctrg_rejected_in_onehot_mode():
     module, state = create_train_state(SMALL, jax.random.PRNGKey(0))
     batch = _batch(SMALL, 4)
