@@ -63,6 +63,15 @@ class PitchParams(NamedTuple):
     # the parallel decoder remains parity-tested for geometries with
     # more states/longer chains (BENCHMARKS.md "Pitch tracker A/B").
     parallel_viterbi: bool = False
+    # block (radix-k) Viterbi: combine each k consecutive transitions
+    # into one composite min-plus matrix (vectorized across blocks),
+    # serially scan only T/k composites, then reconstruct per-frame
+    # costs/backpointers pointwise — the middle ground between the
+    # serial scan (T-step latency) and the full associative scan
+    # (log2 T levels of [T, S, S, S] work, a measured loss above).
+    # 0/1 = serial decoder (default pending the hardware A/B —
+    # benchmarks/pitch_viterbi_ab.py; see BENCHMARKS.md).
+    block_viterbi: int = 0
     # candidate top-k via XLA sort (True, default) or k max/argmax
     # passes (False); bit-identical either way (_top_k_by_max).
     # Also a measured loss: 6.87 (sort) vs 7.12 ms (12 serial argmax
@@ -239,7 +248,148 @@ def _viterbi(lag: Array, score: Array, kmax: int, params: PitchParams):
     """
     if params.parallel_viterbi:
         return _viterbi_parallel(lag, score, kmax, params)
+    if params.block_viterbi > 1:
+        return _viterbi_block(lag, score, kmax, params)
     return _viterbi_scan(lag, score, kmax, params)
+
+
+def _transition_stack(local_v, local_u, log_lag, params: PitchParams):
+    """Min-plus transition stack M[t] for t = 1..T-1 ([T-1, S, S], with
+    the arrival local cost folded into the destination column) plus the
+    [T, S] local-cost table — shared by the parallel and block
+    decoders; matches the serial decoder's costs exactly."""
+    t, k = log_lag.shape
+    s = k + 1
+    trans_vv = params.freq_weight * jnp.abs(
+        log_lag[1:, None, :] - log_lag[:-1, :, None]
+    )  # [T-1, K_prev, K_cur]
+    m = jnp.full((t - 1, s, s), params.trans_cost, log_lag.dtype)
+    m = m.at[:, :k, :k].set(trans_vv)
+    m = m.at[:, k, k].set(0.0)  # unvoiced -> unvoiced is free
+    local = jnp.concatenate([local_v, local_u[:, None]], axis=1)  # [T, S]
+    return m + local[1:, None, :], local
+
+
+def _states_to_output(states, lag, usable, k):
+    """Shared tail of every decoder: states [T] -> (best_lag, voiced)."""
+    voiced = states < k
+    state_c = jnp.clip(states, 0, k - 1)
+    best_lag = jnp.take_along_axis(lag, state_c[:, None], axis=1)[:, 0]
+    has_cand = jnp.take_along_axis(usable, state_c[:, None], axis=1)[:, 0]
+    return best_lag, voiced & has_cand
+
+
+def _viterbi_block(
+    lag: Array, score: Array, kmax: int, params: PitchParams
+):
+    """Radix-``block_viterbi`` block Viterbi.
+
+    The serial decoder's cost is pure sequential-issue latency: 2 x T
+    scan steps (forward DP + backtrace) of tiny [S, S] work. The full
+    associative scan removes the latency but materializes log2(T)
+    levels of [T, S, S, S] min-plus — a measured LOSS at S=13
+    (PitchParams.parallel_viterbi). This decoder takes the middle: each
+    group of k transitions is pre-combined into ONE composite min-plus
+    matrix (k-1 levels of [T/k, S, S, S] work, vectorized across
+    blocks), the serial scans walk only ceil(T/k) composites, and the
+    per-frame costs / backpointers / states are reconstructed pointwise
+    from within-block prefix composites — all frames at once. Sequential
+    steps drop k-fold; total FLOPs grow ~2x (bounded, unlike the full
+    scan's log T blowup).
+
+    Equal to the serial decoder up to float reassociation of path-cost
+    sums (same caveat as the parallel decoder; ties break identically:
+    argmin -> first minimum -> voiced block first).
+    """
+    t, k = lag.shape
+    usable, local_v, local_u, log_lag = _local_costs(
+        lag, score, kmax, params
+    )
+    s = k + 1
+    radix = int(params.block_viterbi)
+    if t == 1:
+        states = jnp.argmin(
+            jnp.concatenate([local_v[0], local_u[0][None]])
+        )[None]
+        return _states_to_output(states, lag, usable, k)
+
+    m, local = _transition_stack(local_v, local_u, log_lag, params)
+
+    # pad the T-1 transitions to a whole number of blocks with min-plus
+    # identities (0 diagonal, "infinite" off-diagonal — large enough to
+    # lose every argmin against any real path cost, small enough that
+    # composite sums stay finite in f32)
+    n_blocks = -(-(t - 1) // radix)
+    pad = n_blocks * radix - (t - 1)
+    ident = jnp.where(jnp.eye(s, dtype=bool), 0.0, 1e12).astype(m.dtype)
+    m_pad = jnp.concatenate(
+        [m, jnp.broadcast_to(ident, (pad, s, s))], axis=0
+    ).reshape(n_blocks, radix, s, s)
+
+    def min_plus(a, b):
+        return jnp.min(a[..., :, :, None] + b[..., None, :, :], axis=-2)
+
+    # within-block PREFIX composites P[b, j] = M[b,0] (x) ... (x) M[b,j]
+    # (j serial levels, each vectorized over all blocks)
+    prefs = [m_pad[:, 0]]
+    for j in range(1, radix):
+        prefs.append(min_plus(prefs[-1], m_pad[:, j]))
+    prefix = jnp.stack(prefs, axis=1)  # [n_blocks, radix, S, S]
+
+    # serial scan over block composites -> block-END cost vectors
+    def fstep(v, comp):
+        v2 = jnp.min(v[:, None] + comp, axis=0)
+        return v2, v2
+
+    v0 = local[0]
+    _, block_ends = jax.lax.scan(fstep, v0, prefix[:, -1])
+    entries = jnp.concatenate([v0[None], block_ends[:-1]])  # [n_blocks, S]
+
+    # per-frame costs, all blocks at once: cost[1 + b*radix + j] =
+    # min_p entries[b, p] + P[b, j, p, s]
+    inner = jnp.min(
+        entries[:, None, :, None] + prefix, axis=2
+    )  # [n_blocks, radix, S]
+    cost = jnp.concatenate(
+        [v0[None], inner.reshape(n_blocks * radix, s)[: t - 1]]
+    )  # [T, S]
+
+    # backpointers pointwise from the UNpadded transition stack
+    back = jnp.argmin(cost[:-1, :, None] + m, axis=1)  # [T-1, S]
+    end_state = jnp.argmin(cost[-1])
+
+    # backtrace, block-composed: within each block build SUFFIX
+    # compositions Sfx[b, j] = g_j o g_{j+1} o ... o g_{radix-1}
+    # (g_t = back[t]: state at frame t+1 -> state at frame t), pad with
+    # identity maps past T-1
+    id_map = jnp.arange(s, dtype=back.dtype)
+    back_pad = jnp.concatenate(
+        [back, jnp.broadcast_to(id_map, (pad, s))]
+    ).reshape(n_blocks, radix, s)
+    sufs = [back_pad[:, radix - 1]]
+    for j in range(radix - 2, -1, -1):
+        sufs.append(jnp.take_along_axis(back_pad[:, j], sufs[-1], axis=-1))
+    suffix = jnp.stack(sufs[::-1], axis=1)  # [n_blocks, radix, S]
+
+    # serial scan over block maps: boundary state at frame (b+1)*radix
+    def bstep(state, h):
+        return h[state], state
+
+    _, boundaries = jax.lax.scan(
+        bstep, end_state, suffix[:, 0], reverse=True
+    )  # boundaries[b] = state at frame (b+1)*radix (end_state past T-1)
+
+    # inner states pointwise: state[b*radix + j] = Sfx[b, j][boundary_b]
+    inner_states = jnp.take_along_axis(
+        suffix, boundaries[:, None, None], axis=-1
+    )[..., 0]  # [n_blocks, radix]; flat index i = state at frame i
+    # frame T-1: covered by the identity padding (which maps it to
+    # end_state) unless T-1 is an exact block multiple — append
+    # end_state explicitly so both cases trim correctly
+    states = jnp.concatenate(
+        [inner_states.reshape(-1), end_state[None]]
+    )[:t]
+    return _states_to_output(states, lag, usable, k)
 
 
 def _local_costs(lag: Array, score: Array, kmax: int, params: PitchParams):
@@ -301,16 +451,9 @@ def _viterbi_parallel(
         )[:, 0]
         return best_lag, voiced & has_cand
 
-    # transition stack M[t] for t = 1..T-1: [T-1, S, S]
-    # voiced p -> voiced s: octave-jump penalty between consecutive lags
-    trans_vv = params.freq_weight * jnp.abs(
-        log_lag[1:, None, :] - log_lag[:-1, :, None]
-    )  # [T-1, K_prev, K_cur]
-    m = jnp.full((t - 1, s, s), params.trans_cost, log_lag.dtype)
-    m = m.at[:, :k, :k].set(trans_vv)
-    m = m.at[:, k, k].set(0.0)  # unvoiced -> unvoiced is free
-    local = jnp.concatenate([local_v, local_u[:, None]], axis=1)  # [T, S]
-    m = m + local[1:, None, :]  # fold arrival cost into the column
+    # transition stack M[t] for t = 1..T-1 with arrival costs folded in
+    # (shared with the block decoder)
+    m, local = _transition_stack(local_v, local_u, log_lag, params)
 
     def min_plus(a, b):
         # (A (x) B)[p, s] = min_m A[p, m] + B[m, s]; leading dims map

@@ -160,6 +160,62 @@ def test_parallel_viterbi_matches_scan():
         )
 
 
+def test_block_viterbi_matches_scan():
+    """The radix-k block decoder must agree with the serial scan
+    decoder for every radix, including T==1, T-1 an exact block
+    multiple, and T-1 needing identity padding (same reassociation
+    caveat as the parallel decoder)."""
+    from speechsplit_tpu.ops.pitch import (
+        PitchParams,
+        _viterbi_block,
+        _viterbi_scan,
+    )
+
+    rng = np.random.RandomState(11)
+    kmax = 320
+    for t in (1, 2, 3, 5, 8, 9, 50, 251):
+        lag = jnp.asarray(
+            rng.uniform(26.0, 320.0, size=(t, 12)).astype(np.float32)
+        )
+        score = jnp.asarray(
+            rng.uniform(-0.2, 1.0, size=(t, 12)).astype(np.float32)
+        )
+        lag_s, voiced_s = _viterbi_scan(lag, score, kmax, PitchParams())
+        for radix in (2, 4, 7, 16):
+            p = PitchParams(block_viterbi=radix)
+            lag_b, voiced_b = _viterbi_block(lag, score, kmax, p)
+            agree = np.asarray(voiced_b) == np.asarray(voiced_s)
+            assert agree.mean() >= 0.99, (t, radix, agree.mean())
+            both = np.asarray(voiced_b) & np.asarray(voiced_s)
+            np.testing.assert_array_equal(
+                np.asarray(lag_b)[agree & both],
+                np.asarray(lag_s)[agree & both],
+            )
+
+
+def test_track_pitch_block_equals_scan_end_to_end():
+    """Full tracker output on real-ish signals, block vs serial
+    Viterbi: identical log-F0 up to tie flips (candidate stage is
+    shared and exact)."""
+    from speechsplit_tpu.ops.pitch import PitchParams
+
+    n = FS
+    x = np.stack([_voiced_tone(140.0, n), _voiced_tone(260.0, n)])
+    args = (
+        jnp.asarray(x),
+        jnp.asarray([n, n]),
+        jnp.asarray([50.0, 50.0], jnp.float32),
+        jnp.asarray([600.0, 600.0], jnp.float32),
+    )
+    out_b = np.asarray(
+        track_pitch(*args, params=PitchParams(block_viterbi=8))
+    )
+    out_s = np.asarray(track_pitch(*args, params=PitchParams()))
+    assert (out_b == out_s).mean() > 0.995
+    both = (out_b > -1e9) & (out_s > -1e9)
+    np.testing.assert_array_equal(out_b[both], out_s[both])
+
+
 def test_track_pitch_parallel_equals_scan_end_to_end():
     """Full tracker output on real-ish signals, parallel vs serial
     Viterbi: identical log-F0 (candidate stage is shared and exact)."""
