@@ -58,7 +58,7 @@ def main(argv=None) -> None:
         "built-in Griffin-Lim",
     )
     parser.add_argument(
-        "--vocoder_refine", type=int, default=24,
+        "--vocoder_refine", type=int, default=48,
         help="mel-consistency projection iterations on the neural "
         "vocoder's predicted spectrum (0 = raw one-shot head; since "
         "the scatter-free overlap-add, iterations are ~60 us each so "

@@ -149,7 +149,7 @@ def main(argv=None) -> None:
         "Griffin-Lim",
     )
     parser.add_argument(
-        "--vocoder_refine", type=int, default=24,
+        "--vocoder_refine", type=int, default=48,
         help="mel-consistency projection iterations on the neural "
         "vocoder's spectrum (0 = raw one-shot head; ~60 us each)",
     )

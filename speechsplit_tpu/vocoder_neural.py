@@ -357,9 +357,11 @@ class NeuralVocoder:
     the neural head's latency with GL-grade mel fidelity. Each
     iteration costs one iSTFT + STFT round trip; since the
     scatter-free overlap-add (vocoder._overlap_add) that is ~60 us on
-    device, so the CLI default refine_iters=24 reaches GL-100-grade
-    mel fidelity (0.241 dB vs GL-100's 0.182, GL-50's 0.286) for
-    <1 ms on top of the one-shot forward. refine_momentum=0.9
+    device, so the CLI default refine_iters=48 (raised from 24 on the
+    round-5 real-speech A/B: 0.300 dB vs GL-100's 0.482 where
+    refine-24 only tied at 0.487; OOD 0.151 vs 0.271 — BENCHMARKS.md
+    "Vocoder off-distribution") beats GL-100-grade mel fidelity for
+    <3 ms on top of the one-shot forward. refine_momentum=0.9
     measured optimal — GL's 0.99 overshoots from a warm start
     (BENCHMARKS.md "Vocoder quality").
     """
